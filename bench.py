@@ -1,0 +1,92 @@
+"""Headline benchmark: MARS fine-tune throughput (examples/sec/chip) of the
+flagship MarT-MKGformer training step — full-size model (BERT-base text
+tower + CLIP-ViT-B/32 vision tower, batch 32, seq 128, reference recipe
+MarT/scripts/run_finetune_mkgformer.sh), full train step: forward + backward
++ AdamW update, bf16 activations.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); we use an
+estimated PyTorch fp32 A100 rate of ~320 examples/sec for this model/batch
+(0.1 s/step at bsz 32) as the denominator. BASELINE.json's north star is
+>=5x that per v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_PYTORCH_EXAMPLES_PER_SEC_EST = 320.0
+
+BATCH_SIZE = 32
+SEQ_LEN = 128
+WARMUP = 3
+STEPS = 20
+
+
+def main():
+    from __graft_entry__ import _synthetic_batch
+    from mkg_analogy_tpu.core.mesh import make_mesh
+    from mkg_analogy_tpu.models.unimo import TextConfig, UnimoConfig, UnimoForMaskedLM
+    from mkg_analogy_tpu.train.trainer import MarTTrainer, TrainConfig
+
+    vocab_size = 19712
+    n_analogy = 2063
+    cfg = UnimoConfig(text=TextConfig(vocab_size=vocab_size))
+    model = UnimoForMaskedLM(cfg)
+
+    class _Vocab:
+        analogy_entity_ids = np.arange(n_analogy, dtype=np.int32) + 8192
+        analogy_relation_ids = np.arange(27, dtype=np.int32) + 19484
+        r_token_id = 19676
+        entity_id_st, entity_id_ed = 8192, 19484
+        relation_id_st, relation_id_ed = 19484, 19676
+        padded_vocab_size = vocab_size
+
+    mesh = make_mesh()
+    tcfg = TrainConfig(lr=5e-5, batch_size=BATCH_SIZE, alpha=0.43)
+    trainer = MarTTrainer(model, _Vocab(), tcfg, mesh=mesh)
+
+    batch = _synthetic_batch(BATCH_SIZE, SEQ_LEN, vocab_size, 224, n_analogy)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, total_steps=1000)
+    step = jax.jit(trainer._train_step, donate_argnums=0)
+    rng = jax.random.PRNGKey(1)
+
+    with mesh:
+        dbatch = trainer._put_batch(batch)
+        for _ in range(WARMUP):
+            state, metrics = step(state, dbatch, rng)
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, metrics = step(state, dbatch, rng)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    examples_per_sec_per_chip = BATCH_SIZE * STEPS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "MARS finetune MKGformer train-step throughput",
+                "value": round(examples_per_sec_per_chip, 2),
+                "unit": "examples/sec/chip",
+                "vs_baseline": round(
+                    examples_per_sec_per_chip / A100_PYTORCH_EXAMPLES_PER_SEC_EST, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""CLI entry point mirroring the reference's flag surface (MarT/main.py:20-60
+plus the flags contributed by KGC.add_to_argparse and
+TransformerLitModel.add_to_argparse), with TPU-native additions (--dp/--tp/
+--dtype).
+
+Examples (reference script parity, MarT/scripts/run_finetune_mkgformer.sh):
+
+  python -m mkg_analogy_tpu.cli.main \
+      --model_class MKGformerKGC --batch_size 32 --lr 5e-5 --alpha 0.43 \
+      --max_epochs 15 --max_seq_length 128 --eval_batch_size 128 \
+      --data_dir dataset/MARS --pretrain_path dataset/MarKG --pretrain 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native MKG analogy framework (MarT pipeline)"
+    )
+    # Basic (main.py:29-41)
+    p.add_argument("--wandb", action="store_true", default=False,
+                   help="accepted for parity; logging always goes to JSONL/TB")
+    p.add_argument("--litmodel_class", type=str, default="TransformerLitModel")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--data_class", type=str, default="KGC")
+    p.add_argument("--chunk", type=str, default="")
+    p.add_argument("--model_class", type=str, default="MKGformerKGC")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--visual_model_path", type=str, default=None)
+    p.add_argument("--pretrain_path", type=str, default=None)
+    p.add_argument("--alpha", type=float, default=0.4,
+                   help="weight of the relaxation (similarity) loss")
+    p.add_argument("--only_test", action="store_true", default=False)
+    # Trainer args (pl.Trainer surface used by the run scripts)
+    p.add_argument("--max_epochs", type=int, default=15)
+    p.add_argument("--gpus", type=str, default=None,
+                   help="ignored on TPU; accepted for script parity")
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--check_val_every_n_epoch", type=int, default=1)
+    p.add_argument("--precision", type=int, default=32,
+                   help="16 -> bfloat16 activations on TPU (default already bf16)")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="accepted for parity; input pipeline is vectorized")
+    p.add_argument("--limit_train_batches", type=float, default=None)
+    # Data args (data_module.py:253-262)
+    p.add_argument("--model_name_or_path", type=str, default="wordpiece-kg",
+                   help="path to a vocab.txt/tokenizer dir, or 'wordpiece-kg' "
+                        "to train an offline WordPiece vocab from the corpus")
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--max_seq_length", type=int, default=128)
+    p.add_argument("--warm_up_radio", type=float, default=0.1)
+    p.add_argument("--eval_batch_size", type=int, default=128)
+    p.add_argument("--overwrite_cache", action="store_true", default=False)
+    p.add_argument("--batch_size", type=int, default=32)
+    # Model args (models/model.py)
+    p.add_argument("--pretrain", type=int, default=0)
+    # LitModel args (lit_models/base.py + transformer.py)
+    p.add_argument("--optimizer", type=str, default="AdamW")
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--label_smoothing", type=float, default=0.1)
+    p.add_argument("--bce", type=int, default=0)
+    # TPU-native extensions
+    p.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--output_dir", type=str, default="output")
+    p.add_argument("--log_dir", type=str, default="training/logs")
+    p.add_argument("--cache_dir", type=str, default=".cache/mkg")
+    p.add_argument("--image_features", type=str, default=None,
+                   help="path to a .npy pixel/region feature cache")
+    p.add_argument("--text_vocab_size", type=int, default=8192)
+    p.add_argument("--profile", action="store_true", default=False,
+                   help="capture a jax.profiler trace of a few train steps")
+    return p
+
+
+def make_model(args, vocab_size: int):
+    from ..models.registry import create_model
+
+    return create_model(args.model_class, vocab_size=vocab_size, dtype=args.dtype)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    print(args)
+
+    from ..core.mesh import make_mesh
+    from ..data.module import KGCDataModule
+    from ..train.checkpoint import Checkpointer, partial_restore
+    from ..train.trainer import MarTTrainer, TrainConfig
+    from ..utils.logging import MetricLogger
+
+    vocab_file = None
+    if args.model_name_or_path and args.model_name_or_path != "wordpiece-kg":
+        cand = os.path.join(args.model_name_or_path, "vocab.txt")
+        if os.path.exists(cand):
+            vocab_file = cand
+        elif os.path.exists(args.model_name_or_path):
+            vocab_file = args.model_name_or_path
+
+    data = KGCDataModule(
+        data_dir=args.data_dir,
+        pretrain_path=args.pretrain_path or args.data_dir,
+        max_seq_length=args.max_seq_length,
+        pretrain=bool(args.pretrain),
+        vocab_file=vocab_file,
+        text_vocab_size=args.text_vocab_size,
+        cache_dir=args.cache_dir,
+        image_features=args.image_features,
+        overwrite_cache=args.overwrite_cache,
+        seed=args.seed,
+    )
+    model = make_model(args, data.vocab.padded_vocab_size)
+
+    mesh = make_mesh(dp=args.dp, tp=args.tp)
+    cfg = TrainConfig(
+        lr=args.lr,
+        max_epochs=args.max_epochs,
+        batch_size=args.batch_size,
+        eval_batch_size=args.eval_batch_size,
+        alpha=args.alpha,
+        label_smoothing=args.label_smoothing,
+        warmup_ratio=args.warm_up_radio,
+        weight_decay=args.weight_decay,
+        grad_accum_steps=args.accumulate_grad_batches,
+        pretrain=bool(args.pretrain),
+        seed=args.seed,
+        check_val_every_n_epoch=args.check_val_every_n_epoch,
+    )
+    logger = MetricLogger(args.log_dir)
+    trainer = MarTTrainer(model, data.vocab, cfg, mesh=mesh, logger=logger)
+    ckpt = Checkpointer(os.path.join(args.output_dir, "ckpt"))
+
+    attach = data.pixel_attach()
+    if args.pretrain:
+        train_feats = data.features("train")
+        dev_feats = train_feats  # reference evaluates pretrain on train triples
+        test_feats = train_feats
+    else:
+        train_feats = data.features("train")
+        dev_feats = data.features("dev")
+        test_feats = data.features("test")
+
+    if args.only_test:
+        import jax.random as jr
+
+        it = data.iterator("test", args.eval_batch_size, shuffle=False,
+                           pad_tail=True)
+        sample = next(iter(it))
+        sample.pop("valid", None)
+        state = trainer.init_state(jr.PRNGKey(args.seed), sample, total_steps=1)
+        params = state.params
+        if args.checkpoint:
+            restored = Checkpointer(args.checkpoint).restore(like=params)
+            params = partial_restore(params, restored)
+        metrics = trainer.evaluate(params, test_feats, attach=attach)
+        logger.log(0, metrics, prefix="test/")
+        print(metrics)
+        return metrics
+
+    init_params_fn = None
+    if args.checkpoint:
+        def init_params_fn(params):
+            restored = Checkpointer(args.checkpoint).restore(like=params)
+            return partial_restore(params, restored)
+
+    state, best = trainer.fit(
+        train_feats, dev_feats, attach=attach, checkpointer=ckpt,
+        init_params_fn=init_params_fn,
+    )
+    test_metrics = trainer.evaluate(state.params, test_feats, attach=attach)
+    logger.log(int(state.step), test_metrics, prefix="test/")
+    print(test_metrics)
+    return test_metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""KGC data module: ties together tokenizer, vocab, features, image stores
+and batch iterators (the TPU analogue of MarT/data/data_module.py:185 KGC).
+
+Feature caching: stacked feature dicts are persisted as ``.npz`` keyed by
+(split, model family, pretrain flag, max_seq, corpus fingerprint) — the
+TPU-native replacement for the reference's pickle ``cache_results``
+decorator (processor.py:26-80).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from .batching import BatchIterator
+from .images import PixelStore, RegionStore, ZeroPixelStore, open_store
+from .prompt import build_finetune_features, build_pretrain_features
+from .readers import MARS, MarKG
+from .vocab import KGVocab, build_tokenizer
+
+
+class KGCDataModule:
+    def __init__(
+        self,
+        data_dir: str,
+        pretrain_path: str,
+        max_seq_length: int = 128,
+        pretrain: bool = False,
+        vocab_file: Optional[str] = None,
+        text_vocab_size: int = 8192,
+        cache_dir: Optional[str] = None,
+        image_features: Optional[str] = None,
+        image_size: int = 224,
+        overwrite_cache: bool = False,
+        seed: int = 1,
+    ):
+        self.data_dir = data_dir
+        self.pretrain = pretrain
+        self.max_seq_length = max_seq_length
+        self.cache_dir = cache_dir
+        self.overwrite_cache = overwrite_cache
+        self.seed = seed
+
+        self.markg = MarKG(pretrain_path)
+        self.mars = MARS(data_dir, self.markg)
+        self.tokenizer = build_tokenizer(
+            self.markg, cache_dir=cache_dir, vocab_file=vocab_file,
+            vocab_size=text_vocab_size,
+        )
+        self.vocab = KGVocab(self.tokenizer, self.markg, self.mars)
+        self.store = open_store(image_features, self.markg.num_entities, image_size)
+
+    # ----------------------------------------------------------- reference
+    def get_config(self) -> Dict[str, object]:
+        """Id-range export, KGC.get_config parity (data_module.py:245-251)."""
+        v = self.vocab
+        return dict(
+            entity_id_st=v.entity_id_st,
+            entity_id_ed=v.entity_id_ed,
+            relation_id_st=v.relation_id_st,
+            relation_id_ed=v.relation_id_ed,
+            analogy_entity_ids=v.analogy_entity_ids,
+            analogy_relation_ids=v.analogy_relation_ids,
+            vocab_size=v.padded_vocab_size,
+        )
+
+    # ------------------------------------------------------------- features
+    def _cache_path(self, split: str) -> Optional[str]:
+        if not self.cache_dir:
+            return None
+        key = f"{split}_pre{int(self.pretrain)}_L{self.max_seq_length}_V{self.vocab.base_size}"
+        h = hashlib.sha256(key.encode()).hexdigest()[:12]
+        return os.path.join(self.cache_dir, f"features_{key}_{h}.npz")
+
+    def features(self, split: str) -> Dict[str, np.ndarray]:
+        path = self._cache_path(split)
+        if path and os.path.exists(path) and not self.overwrite_cache:
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        if self.pretrain:
+            feats = build_pretrain_features(
+                self.markg, self.vocab, self.max_seq_length, seed=self.seed
+            )
+        else:
+            feats = build_finetune_features(
+                self.mars, self.vocab, split, self.max_seq_length
+            )
+        if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savez_compressed(path, **feats)
+        return feats
+
+    # -------------------------------------------------------------- attach
+    def pixel_attach(self) -> Callable:
+        store = self.store
+
+        def attach(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+            batch = dict(batch)
+            batch["pixel_values"] = store.gather(batch["img0"], batch["img1"])
+            return batch
+
+        return attach
+
+    def region_attach(self) -> Callable:
+        assert isinstance(self.store, RegionStore)
+        store = self.store
+
+        def attach(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+            batch = dict(batch)
+            feats, mask = store.gather(batch["img0"], batch["img1"])
+            batch["pixel_values"] = feats
+            batch["visual_attention_mask"] = mask
+            return batch
+
+        return attach
+
+    def iterator(
+        self, split: str, batch_size: int, shuffle: bool, pad_tail: bool = False
+    ) -> BatchIterator:
+        return BatchIterator(
+            self.features(split),
+            batch_size,
+            shuffle=shuffle,
+            seed=self.seed,
+            attach=self.pixel_attach(),
+            pad_tail=pad_tail,
+        )

@@ -48,6 +48,7 @@ class AttentionCore(nn.Module):
         attention_bias: Optional[jnp.ndarray] = None,
         score_multiplier: Optional[jnp.ndarray] = None,
         extra_kv: Optional[tuple] = None,
+        extra_kv_bias: Optional[jnp.ndarray] = None,
         output_kv: bool = False,
         deterministic: bool = True,
     ):
@@ -66,8 +67,20 @@ class AttentionCore(nn.Module):
         kv_out = (k, v) if output_kv else None
 
         if extra_kv is not None:
+            n_extra = extra_kv[0].shape[2]
             k = jnp.concatenate([extra_kv[0].astype(k.dtype), k], axis=2)
             v = jnp.concatenate([extra_kv[1].astype(v.dtype), v], axis=2)
+            if extra_kv_bias is not None:
+                # Mask padded text keys when they feed another tower's
+                # attention. (The reference leaves PAD embeddings attendable,
+                # making outputs depend on per-batch pad length —
+                # modeling_unimo.py:481-527 has no mask on the vision side.
+                # Masking is the static-shape-correct behavior.)
+                zeros = jnp.zeros(
+                    extra_kv_bias.shape[:-1] + (l,), extra_kv_bias.dtype
+                )
+                assert attention_bias is None
+                attention_bias = jnp.concatenate([extra_kv_bias, zeros], axis=-1)
 
         scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
         scores = jnp.einsum(

@@ -180,7 +180,7 @@ class CLIPLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, extra_kv=None, deterministic=True):
+    def __call__(self, x, extra_kv=None, extra_kv_bias=None, deterministic=True):
         cfg = self.cfg
         residual = x
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ln1")(x)
@@ -190,7 +190,8 @@ class CLIPLayer(nn.Module):
             dtype=self.dtype,
             dropout_rate=cfg.attention_dropout,
             name="attn",
-        )(h, extra_kv=extra_kv, deterministic=deterministic)
+        )(h, extra_kv=extra_kv, extra_kv_bias=extra_kv_bias,
+          deterministic=deterministic)
         x = residual + h
         residual = x
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ln2")(x)
@@ -308,7 +309,10 @@ class UnimoEncoder(nn.Module):
             # text layer's K/V (exported from idx >= fusion_start - 1).
             extra_kv = prev_text_kv if idx >= cfg.fusion_start else None
             vision_h = CLIPLayer(cfg.vision, dtype=dtype, name=f"vision_{idx}")(
-                vision_h, extra_kv=extra_kv, deterministic=deterministic
+                vision_h,
+                extra_kv=extra_kv,
+                extra_kv_bias=attn_bias if extra_kv is not None else None,
+                deterministic=deterministic,
             )
             vision_for_text = vision_h if idx >= cfg.fusion_start else None
             output_kv = idx >= cfg.fusion_start - 1

@@ -35,8 +35,10 @@ def label_smoothing_cross_entropy(
     label_logp = jnp.take_along_axis(logp, safe_labels[:, None], axis=1)[:, 0]
     lb_pos = 1.0 - smoothing
     lb_neg = smoothing / num_classes
-    # <smoothed target, logp> = lb_pos * logp[label] + lb_neg * sum(logp)
-    loss = -(lb_pos * label_logp + lb_neg * jnp.sum(logp, axis=-1))
+    # Reference target (utils.py:30): fill lb_neg everywhere then *scatter*
+    # lb_pos over the label cell (replacing, not adding), so
+    # <target, logp> = (lb_pos - lb_neg) * logp[label] + lb_neg * sum(logp).
+    loss = -((lb_pos - lb_neg) * label_logp + lb_neg * jnp.sum(logp, axis=-1))
     loss = jnp.where(valid, loss, 0.0)
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
     return jnp.sum(loss) / n_valid

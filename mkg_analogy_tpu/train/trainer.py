@@ -1,0 +1,356 @@
+"""MarT trainer: pjit train/eval steps over a (dp, tp) mesh.
+
+Replaces the reference's PyTorch-Lightning shell (MarT/lit_models/
+transformer.py) with a functional JAX loop:
+
+- fine-tune loss  = label-smoothed CE over the 2,063 analogy-entity logits
+                    + alpha * relaxation loss (transformer.py:92-109);
+- pre-train loss  = entity-range CE (pre_type != 2) + relation-range CE
+                    (pre_type == 2) at the mask position
+                    (transformer.py:72-90);
+- eval            = on-device filtered ranks -> Hits@k / MR / MRR
+                    (transformer.py:129-166);
+- early stopping on Eval_entity/mrr (patience 5) and best-checkpoint on
+  Eval_entity/hits10 (main.py:141-148).
+
+TPU specifics: the MLM decoder runs only at gathered positions and only over
+the vocab slice in play; batches are sharded over ``dp``, the decoder table
+over ``tp``; the whole step is one jit program with donated state.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.mesh import make_mesh
+from ..data.batching import BatchIterator
+from ..ops.losses import label_smoothing_cross_entropy, relaxation_loss
+from ..ops.ranking import rank_metrics, ranks_from_scores
+from ..parallel.shardings import batch_spec, make_shardings, shard_params_spec
+from ..utils.logging import MetricLogger
+from .optim import make_optimizer
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 5e-5
+    max_epochs: int = 15
+    batch_size: int = 32
+    eval_batch_size: int = 128
+    alpha: float = 0.43
+    label_smoothing: float = 0.1
+    warmup_ratio: float = 0.1
+    weight_decay: float = 0.01
+    grad_accum_steps: int = 1
+    pretrain: bool = False
+    seed: int = 7
+    patience: int = 5
+    check_val_every_n_epoch: int = 1
+    log_every: int = 50
+    max_grad_norm: Optional[float] = None
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def finetune_positions(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """(B, 5) gather positions: [mask, rel_ex, rel_q, q_head, a_head]."""
+    return jnp.stack(
+        [
+            batch["mask_idx"],
+            batch["rel_idx"][:, 0],
+            batch["rel_idx"][:, 1],
+            batch["q_head_idx"],
+            batch["a_head_idx"],
+        ],
+        axis=1,
+    )
+
+
+class MarTTrainer:
+    def __init__(
+        self,
+        model,
+        vocab,
+        config: TrainConfig,
+        mesh=None,
+        logger: Optional[MetricLogger] = None,
+    ):
+        self.model = model
+        self.vocab = vocab
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = logger or MetricLogger()
+        self.analogy_entity_ids = jnp.asarray(vocab.analogy_entity_ids)
+        self._jitted: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng: jax.Array, sample_batch: Dict[str, np.ndarray],
+                   total_steps: int) -> TrainState:
+        cfg = self.config
+        batch = {k: jnp.asarray(v[:1]) for k, v in sample_batch.items()}
+        init_args = self._model_inputs(batch, train=False)
+        params = jax.eval_shape(
+            lambda r: self.model.init(r, **init_args, deterministic=True), rng
+        )
+        pspec = shard_params_spec(params)
+        shardings = make_shardings(self.mesh, pspec)
+        with self.mesh:
+            params = jax.jit(
+                lambda r: self.model.init(r, **init_args, deterministic=True),
+                out_shardings=shardings,
+            )(rng)
+        params = self._init_r_token(params)
+        tx = make_optimizer(
+            cfg.lr,
+            total_steps,
+            cfg.warmup_ratio,
+            cfg.weight_decay,
+            grad_accum_steps=cfg.grad_accum_steps,
+            max_grad_norm=cfg.max_grad_norm,
+        )
+        with self.mesh:
+            state = TrainState.create(
+                apply_fn=self.model.apply, params=params, tx=tx
+            )
+        return state
+
+    def _init_r_token(self, params):
+        """[R] embedding <- mean of analogy-relation embeddings
+        (transformer.py:41-54)."""
+        if self.vocab.analogy_relation_ids.size == 0:
+            return params
+        table = params["params"]["word_embeddings"]
+        mean_rel = jnp.mean(
+            jnp.take(table, jnp.asarray(self.vocab.analogy_relation_ids), axis=0),
+            axis=0,
+        )
+        table = table.at[self.vocab.r_token_id].set(mean_rel)
+        params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+        params["params"]["word_embeddings"] = table
+        return params
+
+    # ---------------------------------------------------------------- model io
+    def _model_inputs(self, batch, train: bool):
+        cfg = self.config
+        if cfg.pretrain:
+            positions = batch["mask_idx"][:, None]
+            boundary = None
+        else:
+            positions = finetune_positions(batch)
+            boundary = batch["sep_idx"][:, 2]
+        return dict(
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            token_type_ids=batch["token_type_ids"],
+            pixel_values=batch["pixel_values"],
+            positions=positions,
+            boundary=boundary,
+        )
+
+    # ---------------------------------------------------------------- losses
+    def _finetune_loss(self, params, batch, rng):
+        cfg = self.config
+        inputs = self._model_inputs(batch, train=True)
+        trans = self.model.apply(
+            params, **inputs, deterministic=False, rngs={"dropout": rng}
+        )
+        logits = self.model.apply(
+            params, trans[:, 0], vocab_ids=self.analogy_entity_ids,
+            method=type(self.model).logits,
+        )
+        ce = label_smoothing_cross_entropy(
+            logits, batch["label"], cfg.label_smoothing
+        )
+        sim = relaxation_loss(trans[:, 3], trans[:, 4], trans[:, 1], trans[:, 2])
+        loss = ce + cfg.alpha * sim
+        return loss, {"loss": loss, "ce": ce, "sim": sim}
+
+    def _pretrain_loss(self, params, batch, rng):
+        cfg = self.config
+        v = self.vocab
+        inputs = self._model_inputs(batch, train=True)
+        trans = self.model.apply(
+            params, **inputs, deterministic=False, rngs={"dropout": rng}
+        )
+        # one contiguous decoder matmul over [entities ; relations]
+        logits = self.model.apply(
+            params, trans[:, 0],
+            vocab_start=v.entity_id_st, vocab_end=v.relation_id_ed,
+            method=type(self.model).logits,
+        )
+        n_ent = v.entity_id_ed - v.entity_id_st
+        ent_logits = logits[:, :n_ent]
+        rel_logits = logits[:, n_ent:]
+        is_rel = batch["pre_type"] == 2
+        ent_labels = jnp.where(is_rel, -100, batch["label"])
+        rel_labels = jnp.where(is_rel, batch["label"], -100)
+        ent_loss = label_smoothing_cross_entropy(
+            ent_logits, ent_labels, cfg.label_smoothing
+        )
+        rel_loss = label_smoothing_cross_entropy(
+            rel_logits, rel_labels, cfg.label_smoothing
+        )
+        # an all-relation / all-entity batch contributes only one term
+        ent_loss = jnp.where(jnp.any(~is_rel), ent_loss, 0.0)
+        rel_loss = jnp.where(jnp.any(is_rel), rel_loss, 0.0)
+        loss = ent_loss + rel_loss
+        return loss, {"loss": loss, "ent_loss": ent_loss, "rel_loss": rel_loss}
+
+    # ------------------------------------------------------------------ steps
+    def _train_step(self, state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss_fn = self._pretrain_loss if self.config.pretrain else self._finetune_loss
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(p, batch, rng), has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    def _eval_step(self, params, batch):
+        v = self.vocab
+        inputs = self._model_inputs(batch, train=False)
+        trans = self.model.apply(params, **inputs, deterministic=True)
+        if self.config.pretrain:
+            logits = self.model.apply(
+                params, trans[:, 0],
+                vocab_start=v.entity_id_st, vocab_end=v.relation_id_ed,
+                method=type(self.model).logits,
+            )
+            n_ent = v.entity_id_ed - v.entity_id_st
+            ent_ranks = ranks_from_scores(logits[:, :n_ent], batch["label"])
+            rel_ranks = ranks_from_scores(
+                logits[:, n_ent:], jnp.clip(batch["label"], 0, logits.shape[1] - n_ent - 1)
+            )
+            is_rel = batch["pre_type"] == 2
+            return {"ranks": jnp.where(is_rel, rel_ranks, ent_ranks),
+                    "is_rel": is_rel, "valid": batch["valid"]}
+        logits = self.model.apply(
+            params, trans[:, 0], vocab_ids=self.analogy_entity_ids,
+            method=type(self.model).logits,
+        )
+        ranks = ranks_from_scores(logits, batch["label"])
+        return {"ranks": ranks, "is_rel": jnp.zeros_like(ranks, bool),
+                "valid": batch["valid"]}
+
+    # -------------------------------------------------------------- jit plumbing
+    def _get_jitted(self, name, fn, donate=()):
+        if name not in self._jitted:
+            self._jitted[name] = jax.jit(fn, donate_argnums=donate)
+        return self._jitted[name]
+
+    def _put_batch(self, batch: Dict[str, np.ndarray]):
+        spec = batch_spec(batch)
+        shardings = make_shardings(self.mesh, spec)
+        return jax.device_put(batch, shardings)
+
+    # ------------------------------------------------------------------- loops
+    def evaluate(self, params, features, attach=None) -> Dict[str, float]:
+        cfg = self.config
+        it = BatchIterator(
+            features, cfg.eval_batch_size, shuffle=False, attach=attach,
+            pad_tail=True,
+        )
+        step = self._get_jitted("eval", self._eval_step)
+        all_ranks, all_is_rel = [], []
+        with self.mesh:
+            for batch in it:
+                out = step(params, self._put_batch(batch))
+                out = jax.device_get(out)
+                m = out["valid"]
+                all_ranks.append(out["ranks"][m])
+                all_is_rel.append(out["is_rel"][m])
+        ranks = np.concatenate(all_ranks)
+        is_rel = np.concatenate(all_is_rel)
+        metrics: Dict[str, float] = {}
+        ent_ranks = ranks[~is_rel]
+        if ent_ranks.size:
+            for k, val in rank_metrics(jnp.asarray(ent_ranks)).items():
+                metrics[f"Eval_entity/{k}"] = float(val)
+        rel_ranks = ranks[is_rel]
+        if rel_ranks.size:
+            for k, val in rank_metrics(jnp.asarray(rel_ranks)).items():
+                metrics[f"Eval_relation/{k}"] = float(val)
+        return metrics
+
+    def fit(
+        self,
+        train_features: Dict[str, np.ndarray],
+        dev_features: Dict[str, np.ndarray],
+        attach=None,
+        checkpointer=None,
+        eval_attach=None,
+        init_params_fn=None,
+    ):
+        cfg = self.config
+        train_it = BatchIterator(
+            train_features, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            attach=attach,
+        )
+        steps_per_epoch = len(train_it)
+        total_steps = steps_per_epoch * cfg.max_epochs
+        rng = jax.random.PRNGKey(cfg.seed)
+        init_rng, step_rng = jax.random.split(rng)
+        sample = next(iter(train_it))
+        state = self.init_state(init_rng, sample, total_steps)
+        if init_params_fn is not None:
+            # pretrain->finetune transfer (main.py:133-134 strict=False parity)
+            state = state.replace(params=init_params_fn(state.params))
+
+        train_step = self._get_jitted("train", self._train_step, donate=(0,))
+        best_mrr, best_hits10, since_best = -1.0, -1.0, 0
+        best_metrics: Dict[str, float] = {}
+        global_step = 0
+        with self.mesh:
+            for epoch in range(cfg.max_epochs):
+                t_epoch = time.time()
+                n_examples = 0
+                for batch in train_it:
+                    batch.pop("valid", None)
+                    dbatch = self._put_batch(batch)
+                    state, metrics = train_step(state, dbatch, step_rng)
+                    global_step += 1
+                    n_examples += cfg.batch_size
+                    if global_step % cfg.log_every == 0:
+                        host = {k: float(v) for k, v in
+                                jax.device_get(metrics).items()}
+                        self.logger.log(global_step, host, prefix="train/")
+                dt = time.time() - t_epoch
+                self.logger.log(
+                    global_step,
+                    {"epoch": epoch, "examples_per_sec": n_examples / dt},
+                    prefix="train/",
+                )
+                if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                    eval_metrics = self.evaluate(
+                        state.params, dev_features, attach=eval_attach or attach
+                    )
+                    self.logger.log(global_step, eval_metrics)
+                    mrr = eval_metrics.get("Eval_entity/mrr", 0.0)
+                    hits10 = eval_metrics.get("Eval_entity/hits10", 0.0)
+                    if hits10 > best_hits10:
+                        best_hits10 = hits10
+                        best_metrics = eval_metrics
+                        if checkpointer is not None:
+                            checkpointer.save(global_step, state.params,
+                                              metrics=eval_metrics)
+                    if mrr > best_mrr:
+                        best_mrr, since_best = mrr, 0
+                    else:
+                        since_best += 1
+                        if since_best >= cfg.patience:
+                            self.logger.log(global_step, {"early_stop": 1.0})
+                            break
+        return state, best_metrics

@@ -1,0 +1,108 @@
+"""End-to-end: tiny synthetic KG -> features -> sharded train/eval loop."""
+
+import jax
+import numpy as np
+import pytest
+
+from mkg_analogy_tpu.core.mesh import make_mesh
+from mkg_analogy_tpu.data.batching import BatchIterator
+from mkg_analogy_tpu.data.images import PixelStore
+from mkg_analogy_tpu.data.prompt import build_finetune_features, build_pretrain_features
+from mkg_analogy_tpu.models.unimo import UnimoForMaskedLM
+from mkg_analogy_tpu.train.trainer import MarTTrainer, TrainConfig
+from tests.util import build_tiny, tiny_unimo_config
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    markg, mars, vocab = build_tiny(str(tmp_path_factory.mktemp("kg")))
+    store = PixelStore.random(markg.num_entities, image_size=16)
+    return markg, mars, vocab, store
+
+
+def make_attach(store):
+    def attach(batch):
+        batch = dict(batch)
+        batch["pixel_values"] = store.gather(batch["img0"], batch["img1"])
+        return batch
+
+    return attach
+
+
+def test_finetune_fit_and_eval(tiny):
+    markg, mars, vocab, store = tiny
+    model = UnimoForMaskedLM(tiny_unimo_config(vocab.padded_vocab_size))
+    cfg = TrainConfig(
+        lr=1e-3, max_epochs=2, batch_size=8, eval_batch_size=8,
+        alpha=0.4, log_every=1,
+    )
+    mesh = make_mesh(dp=8, tp=1)
+    trainer = MarTTrainer(model, vocab, cfg, mesh=mesh)
+    train = build_finetune_features(mars, vocab, "train", max_seq_length=48)
+    dev = build_finetune_features(mars, vocab, "dev", max_seq_length=48)
+    state, best = trainer.fit(train, dev, attach=make_attach(store))
+    assert "Eval_entity/mrr" in best
+    assert 0.0 < best["Eval_entity/mrr"] <= 1.0
+    assert best["Eval_entity/hits1"] <= best["Eval_entity/hits10"] <= 1.0
+    assert int(state.step) == (len(train["label"]) // 8) * 2
+
+
+def test_finetune_loss_decreases(tiny):
+    markg, mars, vocab, store = tiny
+    model = UnimoForMaskedLM(tiny_unimo_config(vocab.padded_vocab_size))
+    cfg = TrainConfig(lr=3e-3, max_epochs=1, batch_size=8)
+    mesh = make_mesh(dp=8, tp=1)
+    trainer = MarTTrainer(model, vocab, cfg, mesh=mesh)
+    train = build_finetune_features(mars, vocab, "train", max_seq_length=48)
+    attach = make_attach(store)
+    it = BatchIterator(train, 8, shuffle=False, attach=attach)
+    batch = next(iter(it))
+    batch.pop("valid")
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, batch, total_steps=50)
+    step = jax.jit(trainer._train_step, donate_argnums=0)
+    with mesh:
+        dbatch = trainer._put_batch(batch)
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state, dbatch, rng)
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_pretrain_fit(tiny):
+    markg, mars, vocab, store = tiny
+    model = UnimoForMaskedLM(tiny_unimo_config(vocab.padded_vocab_size))
+    cfg = TrainConfig(
+        lr=1e-3, max_epochs=1, batch_size=8, eval_batch_size=8, pretrain=True,
+    )
+    mesh = make_mesh(dp=8, tp=1)
+    trainer = MarTTrainer(model, vocab, cfg, mesh=mesh)
+    feats = build_pretrain_features(markg, vocab, max_seq_length=48)
+    state, _ = trainer.fit(feats, feats, attach=make_attach(store))
+    metrics = trainer.evaluate(state.params, feats, attach=make_attach(store))
+    assert "Eval_entity/mrr" in metrics
+    assert "Eval_relation/mrr" in metrics
+
+
+def test_tp_sharding_runs(tiny):
+    """dp=2 x tp=4: decoder table sharded over tp, batch over dp."""
+    markg, mars, vocab, store = tiny
+    model = UnimoForMaskedLM(tiny_unimo_config(vocab.padded_vocab_size))
+    cfg = TrainConfig(lr=1e-3, max_epochs=1, batch_size=8)
+    mesh = make_mesh(dp=2, tp=4)
+    trainer = MarTTrainer(model, vocab, cfg, mesh=mesh)
+    train = build_finetune_features(mars, vocab, "train", max_seq_length=48)
+    it = BatchIterator(train, 8, shuffle=False, attach=make_attach(store))
+    batch = next(iter(it))
+    batch.pop("valid")
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, total_steps=10)
+    # verify the embedding table is actually sharded over tp
+    emb = state.params["params"]["word_embeddings"]
+    spec = emb.sharding.spec
+    assert spec[0] == "tp", spec
+    step = jax.jit(trainer._train_step, donate_argnums=0)
+    with mesh:
+        dbatch = trainer._put_batch(batch)
+        state, metrics = step(state, dbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
