@@ -1,0 +1,142 @@
+"""IKRL end-to-end on a tiny KG: pretrain loss decreases, link-prediction and
+analogical-reasoning evals produce sane metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mkg_analogy_tpu.kge.eval import (
+    analogical_reasoning,
+    best_threshold,
+    build_filters,
+    link_prediction,
+)
+from mkg_analogy_tpu.kge.ikrl import IKRLConfig, create_ikrl
+from mkg_analogy_tpu.kge.sampling import NegativeSampler, TripleStore
+from mkg_analogy_tpu.kge.trainer import KGETrainConfig, KGETrainer
+
+N_ENT, N_REL = 20, 4
+
+
+@pytest.fixture(scope="module")
+def store():
+    rng = np.random.default_rng(0)
+    triples = set()
+    while len(triples) < 60:
+        triples.add((int(rng.integers(N_ENT)), int(rng.integers(N_REL)),
+                     int(rng.integers(N_ENT))))
+    arr = np.array(sorted(triples), np.int64)
+    return TripleStore(arr[:, 0], arr[:, 2], arr[:, 1], N_ENT, N_REL)
+
+
+@pytest.mark.parametrize("scorer", ["transe", "analogy"])
+def test_pretrain_loss_decreases(store, scorer):
+    cfg = IKRLConfig(N_ENT, N_REL, dim=16, scorer=scorer, visual_dim=32)
+    model = create_ikrl(cfg)
+    tcfg = KGETrainConfig(
+        train_times=1, lr=0.5 if scorer == "transe" else 0.05,
+        loss="margin" if scorer == "transe" else "softplus",
+        regul_rate=0.0 if scorer == "transe" else 1.0,
+    )
+    trainer = KGETrainer(model, tcfg, batch_size=20, neg_total=10)
+    sampler = NegativeSampler(store, batch_size=20, neg_ent=5, neg_rel=5, seed=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(2)
+    batch = next(iter(sampler))
+    dev_batch = {k: jnp.asarray(batch[k]) for k in ("batch_h", "batch_t", "batch_r")}
+    losses = []
+    for _ in range(40):
+        state, loss = trainer.pretrain_step(state, dict(dev_batch), rng)
+        losses.append(float(loss))
+    # task_mode is redrawn per step (reference parity), so individual steps
+    # are noisy — compare window means.
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_link_prediction_metrics(store):
+    cfg = IKRLConfig(N_ENT, N_REL, dim=16, scorer="transe", visual_dim=32)
+    model = create_ikrl(cfg)
+    trainer = KGETrainer(model, KGETrainConfig(train_times=1), batch_size=4,
+                         neg_total=2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    variables = {"params": state.params, "frozen": state.frozen}
+
+    def candidate_fn(h, r, tm, corrupt):
+        return model.apply(variables, h, r, tm, corrupt,
+                           method=type(model).candidate_energies)
+
+    filters = build_filters(store)
+    m = link_prediction(candidate_fn, store, filters, N_ENT, batch_size=16)
+    for k in ("mrr", "mr", "hit10", "hit3", "hit1"):
+        assert k in m
+    assert 0 < m["mrr"] <= 1
+    assert m["filter/mrr"] >= m["raw/mrr"] - 1e-9  # filtering can only help
+
+
+def test_filtered_rank_beats_raw_when_positives_compete(store):
+    """With a model scoring all known positives equally well, the filtered
+    rank of the gold must be strictly better than raw when other positives
+    exist for the same (h, r)."""
+    # handcrafted energies: gold gets 1.0, another known positive 0.5
+    import mkg_analogy_tpu.kge.eval as ev
+
+    pairs = [(0, 0)]
+    gold = [3]
+    filt = {(0, 0): {3, 5}}
+    mask = ev._filter_mask(pairs, gold, filt, 10)
+    assert mask[0, 5] and not mask[0, 3]
+
+
+def test_analogical_reasoning_runs(store):
+    cfg = IKRLConfig(N_ENT, N_REL, dim=16, scorer="transe", visual_dim=32)
+    model = create_ikrl(cfg)
+    trainer = KGETrainer(model, KGETrainConfig(train_times=1), batch_size=4,
+                         neg_total=2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    variables = {"params": state.params, "frozen": state.frozen}
+    rng = np.random.default_rng(0)
+    tuples = np.stack(
+        [
+            rng.integers(0, N_ENT, 12), rng.integers(0, N_ENT, 12),
+            rng.integers(0, N_ENT, 12), rng.integers(0, N_ENT, 12),
+            rng.integers(0, N_REL, 12), rng.integers(0, 3, 12),
+        ],
+        axis=1,
+    ).astype(np.int64)
+
+    def scores_fn(eh, et, q, tm):
+        return model.apply(variables, eh, et, q, tm,
+                           method=type(model).finetune_scores)
+
+    m = analogical_reasoning(scores_fn, tuples, batch_size=6)
+    assert set(m) == {"hits1", "hits3", "hits5", "hits10", "mean_rank", "mrr"}
+
+
+def test_finetune_step_decreases_loss(store):
+    cfg = IKRLConfig(N_ENT, N_REL, dim=16, scorer="transe", visual_dim=32)
+    model = create_ikrl(cfg)
+    tcfg = KGETrainConfig(finetune_lr=5e-2)
+    trainer = KGETrainer(model, tcfg, batch_size=4, neg_total=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), finetune=True)
+    rng = np.random.default_rng(1)
+    batch = dict(
+        e_head=jnp.asarray(rng.integers(0, N_ENT, 8)),
+        e_tail=jnp.asarray(rng.integers(0, N_ENT, 8)),
+        q_head=jnp.asarray(rng.integers(0, N_ENT, 8)),
+        q_tail=jnp.asarray(rng.integers(0, N_ENT, 8)),
+        task_mode=jnp.asarray(rng.integers(0, 3, 8)),
+    )
+    losses = []
+    for _ in range(10):
+        state, loss = trainer.finetune_step(state, dict(batch))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_best_threshold():
+    scores = np.array([0.1, 0.2, 0.8, 0.9])
+    labels = np.array([1, 1, 0, 0])
+    thr, acc = best_threshold(scores, labels)
+    # perfectly separable: accuracy 1.0 at threshold between 0.2 and 0.8
+    assert acc == 1.0
