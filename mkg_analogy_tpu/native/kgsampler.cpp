@@ -1,0 +1,546 @@
+// kgsampler — OpenKE-C-ABI-compatible triple store, Bernoulli negative
+// sampler and filtered link-prediction evaluator.
+//
+// Fresh implementation of the API surface exposed by the reference's
+// prebuilt binary M-KGE/IKRL_TransAE/release/Base.so (symbols listed in
+// SURVEY.md §1; calling conventions taken from the ctypes bindings in
+// DATA_/TrainDataLoader.py / TestDataLoader.py; sampling semantics follow
+// the executable spec DATA_/PyTorchTrainDataLoader.py).
+//
+// Build:  g++ -O3 -march=native -shared -fPIC -pthread -o libkgsampler.so kgsampler.cpp
+//
+// Threading: `sampling` shards the batch across a persistent worker pool;
+// each worker owns an xoshiro256** RNG stream, reseeded by randReset().
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <condition_variable>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+typedef int64_t INT;
+typedef float REAL;
+
+namespace {
+
+struct Triple {
+  INT h, r, t;
+};
+
+bool cmp_hrt(const Triple &a, const Triple &b) {
+  return std::tie(a.h, a.r, a.t) < std::tie(b.h, b.r, b.t);
+}
+bool cmp_trh(const Triple &a, const Triple &b) {
+  return std::tie(a.t, a.r, a.h) < std::tie(b.t, b.r, b.h);
+}
+bool cmp_htr(const Triple &a, const Triple &b) {
+  return std::tie(a.h, a.t, a.r) < std::tie(b.h, b.t, b.r);
+}
+
+// ----------------------------------------------------------------- state
+std::string g_in_path = "./";
+std::string g_train_path, g_ent_path, g_rel_path, g_test_path, g_valid_path,
+    g_type_path;
+INT g_bern = 0;
+INT g_threads = 8;
+
+INT g_ent_total = 0, g_rel_total = 0;
+INT g_train_total = 0, g_test_total = 0, g_valid_total = 0;
+
+std::vector<Triple> g_train;          // insertion order
+std::vector<Triple> g_train_hrt;      // sorted (h, r, t)
+std::vector<Triple> g_train_trh;      // sorted (t, r, h)
+std::vector<Triple> g_train_htr;      // sorted (h, t, r)
+std::vector<Triple> g_test, g_valid;
+std::vector<Triple> g_all_hrt, g_all_trh;  // train+valid+test for filtering
+
+std::vector<double> g_lef_mean, g_rig_mean;  // per relation
+
+// type constraints: per relation, sorted candidate heads/tails
+std::vector<std::vector<INT>> g_type_head, g_type_tail;
+bool g_has_types = false;
+
+// link-prediction accumulators
+double l_raw_rank, l_filter_rank, r_raw_rank, r_filter_rank;
+double l_raw_recip, l_filter_recip, r_raw_recip, r_filter_recip;
+double l_raw_hit1, l_raw_hit3, l_raw_hit10;
+double l_filter_hit1, l_filter_hit3, l_filter_hit10;
+double r_raw_hit1, r_raw_hit3, r_raw_hit10;
+double r_filter_hit1, r_filter_hit3, r_filter_hit10;
+// type-constrained variants
+double l_filter_rank_c, r_filter_rank_c, l_filter_recip_c, r_filter_recip_c;
+double l_filter_hit1_c, l_filter_hit3_c, l_filter_hit10_c;
+double r_filter_hit1_c, r_filter_hit3_c, r_filter_hit10_c;
+// results after test_link_prediction
+float res_mrr[2], res_mr[2], res_hit1[2], res_hit3[2], res_hit10[2];
+
+INT g_lp_index = 0;   // getHeadBatch/getTailBatch cursor
+INT g_tc_cursor = 0;  // triple-classification cursor
+
+// ------------------------------------------------------------------- rng
+struct Xoshiro {
+  uint64_t s[4];
+  void seed(uint64_t x) {
+    // splitmix64 expansion
+    for (int i = 0; i < 4; i++) {
+      x += 0x9E3779B97f4A7C15ULL;
+      uint64_t z = x;
+      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+      z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+      s[i] = z ^ (z >> 31);
+    }
+  }
+  static uint64_t rotl(uint64_t v, int k) { return (v << k) | (v >> (64 - k)); }
+  uint64_t next() {
+    uint64_t result = rotl(s[1] * 5, 7) * 9;
+    uint64_t t = s[1] << 17;
+    s[2] ^= s[0];
+    s[3] ^= s[1];
+    s[1] ^= s[2];
+    s[0] ^= s[3];
+    s[2] ^= t;
+    s[3] = rotl(s[3], 45);
+    return result;
+  }
+  INT uniform(INT n) { return (INT)(next() % (uint64_t)n); }
+  double real() { return (next() >> 11) * 0x1.0p-53; }
+};
+
+std::vector<Xoshiro> g_rngs;
+uint64_t g_seed = 0x5DEECE66DULL;
+
+void ensure_rngs() {
+  if ((INT)g_rngs.size() < g_threads) {
+    g_rngs.resize(g_threads);
+    for (INT i = 0; i < g_threads; i++) g_rngs[i].seed(g_seed + 0x9E37 * i);
+  }
+}
+
+// ------------------------------------------------------------- membership
+bool contains(const std::vector<Triple> &sorted_hrt, INT h, INT r, INT t) {
+  Triple key{h, r, t};
+  auto it = std::lower_bound(sorted_hrt.begin(), sorted_hrt.end(), key, cmp_hrt);
+  return it != sorted_hrt.end() && it->h == h && it->r == r && it->t == t;
+}
+
+// range of triples with fixed (h, r) in g_train_hrt
+std::pair<size_t, size_t> range_hr(INT h, INT r) {
+  Triple lo{h, r, INT(-1)}, hi{h, r, INT(1) << 60};
+  auto a = std::lower_bound(g_train_hrt.begin(), g_train_hrt.end(), lo, cmp_hrt);
+  auto b = std::upper_bound(g_train_hrt.begin(), g_train_hrt.end(), hi, cmp_hrt);
+  return {size_t(a - g_train_hrt.begin()), size_t(b - g_train_hrt.begin())};
+}
+std::pair<size_t, size_t> range_tr(INT t, INT r) {
+  Triple lo{INT(-1), r, t}, hi{INT(1) << 60, r, t};
+  auto a = std::lower_bound(g_train_trh.begin(), g_train_trh.end(), lo, cmp_trh);
+  auto b = std::upper_bound(g_train_trh.begin(), g_train_trh.end(), hi, cmp_trh);
+  return {size_t(a - g_train_trh.begin()), size_t(b - g_train_trh.begin())};
+}
+
+bool train_has_tail(INT h, INT r, INT t) { return contains(g_train_hrt, h, r, t); }
+bool train_has_rel(INT h, INT t, INT r) {
+  Triple key{h, r, t};
+  auto it = std::lower_bound(g_train_htr.begin(), g_train_htr.end(), key, cmp_htr);
+  return it != g_train_htr.end() && it->h == h && it->t == t && it->r == r;
+}
+
+// -------------------------------------------------------------- file IO
+FILE *open_or_die(const std::string &p) {
+  FILE *f = std::fopen(p.c_str(), "r");
+  if (!f) {
+    std::fprintf(stderr, "kgsampler: cannot open %s\n", p.c_str());
+    std::exit(1);
+  }
+  return f;
+}
+
+INT read_count(const std::string &p) {
+  FILE *f = open_or_die(p);
+  long long n = 0;
+  if (std::fscanf(f, "%lld", &n) != 1) n = 0;
+  std::fclose(f);
+  return (INT)n;
+}
+
+std::vector<Triple> read_triples(const std::string &p) {
+  FILE *f = open_or_die(p);
+  long long n = 0;
+  if (std::fscanf(f, "%lld", &n) != 1) n = 0;
+  std::vector<Triple> out((size_t)n);
+  for (long long i = 0; i < n; i++) {
+    long long h, t, r;
+    if (std::fscanf(f, "%lld %lld %lld", &h, &t, &r) != 3) break;
+    out[(size_t)i] = Triple{(INT)h, (INT)r, (INT)t};
+  }
+  std::fclose(f);
+  return out;
+}
+
+void compute_bern_stats() {
+  std::vector<double> freq(g_rel_total, 0.0);
+  std::vector<std::vector<INT>> heads(g_rel_total), tails(g_rel_total);
+  for (auto &tr : g_train) {
+    freq[tr.r] += 1.0;
+    heads[tr.r].push_back(tr.h);
+    tails[tr.r].push_back(tr.t);
+  }
+  g_lef_mean.assign(g_rel_total, 0.0);
+  g_rig_mean.assign(g_rel_total, 0.0);
+  for (INT r = 0; r < g_rel_total; r++) {
+    auto uniq = [](std::vector<INT> &v) {
+      std::sort(v.begin(), v.end());
+      return (double)(std::unique(v.begin(), v.end()) - v.begin());
+    };
+    if (freq[r] > 0) {
+      g_lef_mean[r] = freq[r] / uniq(heads[r]);
+      g_rig_mean[r] = freq[r] / uniq(tails[r]);
+    }
+  }
+}
+
+// ------------------------------------------------------------- sampling
+// draw a HEAD candidate h' with (h', r, t) not in train
+INT draw_corrupt_head(Xoshiro &rng, INT t, INT r, bool filter) {
+  while (true) {
+    INT cand = rng.uniform(g_ent_total);
+    if (!filter || !train_has_tail(cand, r, t)) return cand;
+  }
+}
+// draw a TAIL candidate t' with (h, r, t') not in train
+INT draw_corrupt_tail(Xoshiro &rng, INT h, INT r, bool filter) {
+  while (true) {
+    INT cand = rng.uniform(g_ent_total);
+    if (!filter || !train_has_tail(h, r, cand)) return cand;
+  }
+}
+INT corrupt_rel_slot(Xoshiro &rng, INT h, INT t, bool filter) {
+  while (true) {
+    INT cand = rng.uniform(g_rel_total);
+    if (!filter || !train_has_rel(h, t, cand)) return cand;
+  }
+}
+
+struct SampleJob {
+  INT *h, *t, *r;
+  REAL *y;
+  INT batch, neg_ent, neg_rel, mode;
+  bool filter;
+};
+
+void sample_range(const SampleJob &j, INT lo, INT hi, Xoshiro &rng) {
+  for (INT i = lo; i < hi; i++) {
+    INT pick = rng.uniform(g_train_total);
+    const Triple &tr = g_train[(size_t)pick];
+    j.h[i] = tr.h;
+    j.t[i] = tr.t;
+    j.r[i] = tr.r;
+    if (j.y) j.y[i] = 1;
+    double prob = 0.5;
+    if (g_bern && g_lef_mean[tr.r] + g_rig_mean[tr.r] > 0)
+      prob = g_rig_mean[tr.r] / (g_rig_mean[tr.r] + g_lef_mean[tr.r]);
+    for (INT k = 0; k < j.neg_ent; k++) {
+      INT idx = j.batch * (k + 1) + i;
+      INT nh = tr.h, nt = tr.t;
+      if (j.mode == 0) {
+        if (rng.real() < prob)
+          nh = draw_corrupt_head(rng, tr.t, tr.r, j.filter);
+        else
+          nt = draw_corrupt_tail(rng, tr.h, tr.r, j.filter);
+      } else if (j.mode == -1) {  // head_batch
+        nh = draw_corrupt_head(rng, tr.t, tr.r, j.filter);
+      } else {  // tail_batch
+        nt = draw_corrupt_tail(rng, tr.h, tr.r, j.filter);
+      }
+      j.h[idx] = nh;
+      j.t[idx] = nt;
+      j.r[idx] = tr.r;
+      if (j.y) j.y[idx] = 0;
+    }
+    for (INT k = 0; k < j.neg_rel; k++) {
+      INT idx = j.batch * (1 + j.neg_ent + k) + i;
+      j.h[idx] = tr.h;
+      j.t[idx] = tr.t;
+      j.r[idx] = corrupt_rel_slot(rng, tr.h, tr.t, j.filter);
+      if (j.y) j.y[idx] = 0;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------------------- settings
+void setInPath(char *path) { g_in_path = path; }
+void setTrainPath(char *path) { g_train_path = path; }
+void setEntPath(char *path) { g_ent_path = path; }
+void setRelPath(char *path) { g_rel_path = path; }
+void setTestPath(char *path) { g_test_path = path; }
+void setValidPath(char *path) { g_valid_path = path; }
+void setBern(INT bern) { g_bern = bern; }
+void setWorkThreads(INT n) { g_threads = n > 0 ? n : 1; }
+void randReset() {
+  g_rngs.clear();
+  ensure_rngs();
+}
+
+INT getEntityTotal() { return g_ent_total; }
+INT getRelationTotal() { return g_rel_total; }
+INT getTrainTotal() { return g_train_total; }
+INT getTripleTotal() {
+  return g_train_total + g_test_total + g_valid_total;
+}
+INT getTestTotal() { return g_test_total; }
+INT getValidTotal() { return g_valid_total; }
+
+// --------------------------------------------------------------- import
+void importTrainFiles() {
+  std::string ent = g_ent_path.empty() ? g_in_path + "entity2id.txt" : g_ent_path;
+  std::string rel = g_rel_path.empty() ? g_in_path + "relation2id.txt" : g_rel_path;
+  std::string tri = g_train_path.empty() ? g_in_path + "train2id.txt" : g_train_path;
+  g_ent_total = read_count(ent);
+  g_rel_total = read_count(rel);
+  g_train = read_triples(tri);
+  g_train_total = (INT)g_train.size();
+  g_train_hrt = g_train;
+  std::sort(g_train_hrt.begin(), g_train_hrt.end(), cmp_hrt);
+  g_train_trh = g_train;
+  std::sort(g_train_trh.begin(), g_train_trh.end(), cmp_trh);
+  g_train_htr = g_train;
+  std::sort(g_train_htr.begin(), g_train_htr.end(), cmp_htr);
+  compute_bern_stats();
+  ensure_rngs();
+}
+
+void importTestFiles() {
+  if (g_train.empty()) importTrainFiles();
+  g_test = read_triples(g_in_path + "test2id.txt");
+  g_test_total = (INT)g_test.size();
+  // valid is optional
+  FILE *f = std::fopen((g_in_path + "valid2id.txt").c_str(), "r");
+  if (f) {
+    std::fclose(f);
+    g_valid = read_triples(g_in_path + "valid2id.txt");
+  } else {
+    g_valid.clear();
+  }
+  g_valid_total = (INT)g_valid.size();
+  g_all_hrt = g_train;
+  g_all_hrt.insert(g_all_hrt.end(), g_test.begin(), g_test.end());
+  g_all_hrt.insert(g_all_hrt.end(), g_valid.begin(), g_valid.end());
+  g_all_trh = g_all_hrt;
+  std::sort(g_all_hrt.begin(), g_all_hrt.end(), cmp_hrt);
+  std::sort(g_all_trh.begin(), g_all_trh.end(), cmp_trh);
+}
+
+void importTypeFiles() {
+  FILE *f = std::fopen((g_in_path + "type_constrain.txt").c_str(), "r");
+  if (!f) return;
+  long long total = 0;
+  if (std::fscanf(f, "%lld", &total) != 1) total = 0;
+  g_type_head.assign(g_rel_total, {});
+  g_type_tail.assign(g_rel_total, {});
+  for (long long i = 0; i < total * 2; i++) {
+    long long rel = 0, n = 0;
+    if (std::fscanf(f, "%lld %lld", &rel, &n) != 2) break;
+    std::vector<INT> ids((size_t)n);
+    for (long long k = 0; k < n; k++) {
+      long long v;
+      if (std::fscanf(f, "%lld", &v) != 1) v = 0;
+      ids[(size_t)k] = (INT)v;
+    }
+    std::sort(ids.begin(), ids.end());
+    if (i % 2 == 0)
+      g_type_head[(size_t)rel] = std::move(ids);
+    else
+      g_type_tail[(size_t)rel] = std::move(ids);
+  }
+  std::fclose(f);
+  g_has_types = true;
+}
+
+// ------------------------------------------------------------- sampling
+void sampling(INT *batch_h, INT *batch_t, INT *batch_r, REAL *batch_y,
+              INT batchSize, INT negEnt, INT negRel, INT mode, INT filter,
+              INT /*p*/, INT /*val_loss*/) {
+  ensure_rngs();
+  SampleJob job{batch_h, batch_t, batch_r, batch_y,
+                batchSize, negEnt, negRel, mode, filter != 0};
+  INT nthreads = std::min<INT>(g_threads, batchSize);
+  if (nthreads <= 1) {
+    sample_range(job, 0, batchSize, g_rngs[0]);
+    return;
+  }
+  std::vector<std::thread> pool;
+  INT chunk = (batchSize + nthreads - 1) / nthreads;
+  for (INT w = 0; w < nthreads; w++) {
+    INT lo = w * chunk, hi = std::min(batchSize, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([&, lo, hi, w] { sample_range(job, lo, hi, g_rngs[w]); });
+  }
+  for (auto &th : pool) th.join();
+}
+
+// ------------------------------------------------- link prediction eval
+void initTest() {
+  g_lp_index = 0;
+  g_tc_cursor = 0;
+  l_raw_rank = l_filter_rank = r_raw_rank = r_filter_rank = 0;
+  l_raw_recip = l_filter_recip = r_raw_recip = r_filter_recip = 0;
+  l_raw_hit1 = l_raw_hit3 = l_raw_hit10 = 0;
+  l_filter_hit1 = l_filter_hit3 = l_filter_hit10 = 0;
+  r_raw_hit1 = r_raw_hit3 = r_raw_hit10 = 0;
+  r_filter_hit1 = r_filter_hit3 = r_filter_hit10 = 0;
+  l_filter_rank_c = r_filter_rank_c = l_filter_recip_c = r_filter_recip_c = 0;
+  l_filter_hit1_c = l_filter_hit3_c = l_filter_hit10_c = 0;
+  r_filter_hit1_c = r_filter_hit3_c = r_filter_hit10_c = 0;
+}
+
+static INT g_head_cursor = 0, g_tail_cursor = 0;
+
+void getHeadBatch(INT *ph, INT *pt, INT *pr) {
+  const Triple &tr = g_test[(size_t)g_head_cursor];
+  for (INT i = 0; i < g_ent_total; i++) {
+    ph[i] = i;
+    pt[i] = tr.t;
+    pr[i] = tr.r;
+  }
+  // cursor advances when testHead is called
+}
+
+void getTailBatch(INT *ph, INT *pt, INT *pr) {
+  const Triple &tr = g_test[(size_t)g_tail_cursor];
+  for (INT i = 0; i < g_ent_total; i++) {
+    ph[i] = tr.h;
+    pt[i] = i;
+    pr[i] = tr.r;
+  }
+}
+
+static bool type_allows(const std::vector<INT> &ids, INT e) {
+  return std::binary_search(ids.begin(), ids.end(), e);
+}
+
+void testHead(REAL *score, INT index, INT type_constrain) {
+  const Triple &tr = g_test[(size_t)index];
+  REAL target = score[tr.h];
+  INT raw = 0, filt = 0, filt_c = 0;
+  const std::vector<INT> *allowed =
+      (type_constrain && g_has_types) ? &g_type_head[(size_t)tr.r] : nullptr;
+  for (INT j = 0; j < g_ent_total; j++) {
+    if (j == tr.h) continue;
+    if (score[j] < target) {
+      raw++;
+      bool known = contains(g_all_hrt, j, tr.r, tr.t);
+      if (!known) {
+        filt++;
+        if (!allowed || type_allows(*allowed, j)) filt_c++;
+      }
+    }
+  }
+  l_raw_rank += raw + 1;
+  l_raw_recip += 1.0 / (raw + 1);
+  if (raw < 1) l_raw_hit1 += 1;
+  if (raw < 3) l_raw_hit3 += 1;
+  if (raw < 10) l_raw_hit10 += 1;
+  l_filter_rank += filt + 1;
+  l_filter_recip += 1.0 / (filt + 1);
+  if (filt < 1) l_filter_hit1 += 1;
+  if (filt < 3) l_filter_hit3 += 1;
+  if (filt < 10) l_filter_hit10 += 1;
+  l_filter_rank_c += filt_c + 1;
+  l_filter_recip_c += 1.0 / (filt_c + 1);
+  if (filt_c < 1) l_filter_hit1_c += 1;
+  if (filt_c < 3) l_filter_hit3_c += 1;
+  if (filt_c < 10) l_filter_hit10_c += 1;
+  g_head_cursor = std::min<INT>(index + 1, g_test_total - 1);
+}
+
+void testTail(REAL *score, INT index, INT type_constrain) {
+  const Triple &tr = g_test[(size_t)index];
+  REAL target = score[tr.t];
+  INT raw = 0, filt = 0, filt_c = 0;
+  const std::vector<INT> *allowed =
+      (type_constrain && g_has_types) ? &g_type_tail[(size_t)tr.r] : nullptr;
+  for (INT j = 0; j < g_ent_total; j++) {
+    if (j == tr.t) continue;
+    if (score[j] < target) {
+      raw++;
+      bool known = contains(g_all_hrt, tr.h, tr.r, j);
+      if (!known) {
+        filt++;
+        if (!allowed || type_allows(*allowed, j)) filt_c++;
+      }
+    }
+  }
+  r_raw_rank += raw + 1;
+  r_raw_recip += 1.0 / (raw + 1);
+  if (raw < 1) r_raw_hit1 += 1;
+  if (raw < 3) r_raw_hit3 += 1;
+  if (raw < 10) r_raw_hit10 += 1;
+  r_filter_rank += filt + 1;
+  r_filter_recip += 1.0 / (filt + 1);
+  if (filt < 1) r_filter_hit1 += 1;
+  if (filt < 3) r_filter_hit3 += 1;
+  if (filt < 10) r_filter_hit10 += 1;
+  r_filter_rank_c += filt_c + 1;
+  r_filter_recip_c += 1.0 / (filt_c + 1);
+  if (filt_c < 1) r_filter_hit1_c += 1;
+  if (filt_c < 3) r_filter_hit3_c += 1;
+  if (filt_c < 10) r_filter_hit10_c += 1;
+  g_tail_cursor = std::min<INT>(index + 1, g_test_total - 1);
+}
+
+void test_link_prediction(INT type_constrain) {
+  double n = (double)g_test_total;
+  if (n <= 0) return;
+  if (type_constrain) {
+    res_mrr[1] = (float)((l_filter_recip_c + r_filter_recip_c) / (2 * n));
+    res_mr[1] = (float)((l_filter_rank_c + r_filter_rank_c) / (2 * n));
+    res_hit1[1] = (float)((l_filter_hit1_c + r_filter_hit1_c) / (2 * n));
+    res_hit3[1] = (float)((l_filter_hit3_c + r_filter_hit3_c) / (2 * n));
+    res_hit10[1] = (float)((l_filter_hit10_c + r_filter_hit10_c) / (2 * n));
+  } else {
+    res_mrr[0] = (float)((l_filter_recip + r_filter_recip) / (2 * n));
+    res_mr[0] = (float)((l_filter_rank + r_filter_rank) / (2 * n));
+    res_hit1[0] = (float)((l_filter_hit1 + r_filter_hit1) / (2 * n));
+    res_hit3[0] = (float)((l_filter_hit3 + r_filter_hit3) / (2 * n));
+    res_hit10[0] = (float)((l_filter_hit10 + r_filter_hit10) / (2 * n));
+  }
+}
+
+float getTestLinkMRR(INT type_constrain) { return res_mrr[type_constrain ? 1 : 0]; }
+float getTestLinkMR(INT type_constrain) { return res_mr[type_constrain ? 1 : 0]; }
+float getTestLinkHit1(INT type_constrain) { return res_hit1[type_constrain ? 1 : 0]; }
+float getTestLinkHit3(INT type_constrain) { return res_hit3[type_constrain ? 1 : 0]; }
+float getTestLinkHit10(INT type_constrain) { return res_hit10[type_constrain ? 1 : 0]; }
+
+// ------------------------------------------- triple classification batch
+void getTestBatch(INT *ph, INT *pt, INT *pr, INT *nh, INT *nt, INT *nr) {
+  ensure_rngs();
+  Xoshiro &rng = g_rngs[0];
+  for (INT i = 0; i < g_test_total; i++) {
+    const Triple &tr = g_test[(size_t)i];
+    ph[i] = tr.h;
+    pt[i] = tr.t;
+    pr[i] = tr.r;
+    double prob = 0.5;
+    if (g_bern && g_lef_mean[tr.r] + g_rig_mean[tr.r] > 0)
+      prob = g_rig_mean[tr.r] / (g_rig_mean[tr.r] + g_lef_mean[tr.r]);
+    if (rng.real() < prob) {
+      nh[i] = draw_corrupt_head(rng, tr.t, tr.r, true);
+      nt[i] = tr.t;
+    } else {
+      nh[i] = tr.h;
+      nt[i] = draw_corrupt_tail(rng, tr.h, tr.r, true);
+    }
+    nr[i] = tr.r;
+  }
+}
+
+}  // extern "C"
