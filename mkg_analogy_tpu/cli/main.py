@@ -107,6 +107,9 @@ def main(argv=None):
         elif os.path.exists(args.model_name_or_path):
             vocab_file = args.model_name_or_path
 
+    from ..models.registry import IMAGE_INPUT
+
+    kind, img_size = IMAGE_INPUT.get(args.model_class, ("pixels", 224))
     data = KGCDataModule(
         data_dir=args.data_dir,
         pretrain_path=args.pretrain_path or args.data_dir,
@@ -116,6 +119,8 @@ def main(argv=None):
         text_vocab_size=args.text_vocab_size,
         cache_dir=args.cache_dir,
         image_features=args.image_features,
+        image_size=img_size or 224,
+        image_kind=kind,
         overwrite_cache=args.overwrite_cache,
         seed=args.seed,
     )

@@ -104,8 +104,30 @@ class RegionStore:
         return feats, mask
 
 
-def open_store(path: Optional[str], num_entities: int, image_size: int = 224):
-    """Open a pixel store; fall back to zeros when no cache is present."""
+class ZeroRegionStore(RegionStore):
+    def __init__(self):
+        self.features = None
+
+    def gather(self, *slot_indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        b = slot_indices[0].shape[0]
+        s = len(slot_indices)
+        feats = np.zeros((b, s * self.num_regions, self.feat_dim), np.float32)
+        mask = np.zeros((b, s * self.num_regions), np.float32)
+        for j, idx in enumerate(slot_indices):
+            mask[idx >= 0, j * self.num_regions : (j + 1) * self.num_regions] = 1.0
+        return feats, mask
+
+
+def open_store(
+    path: Optional[str], num_entities: int, image_size: int = 224,
+    kind: str = "pixels",
+):
+    """Open the feature store a model family consumes ("pixels" or
+    "regions"); fall back to zeros when no cache is present."""
+    if kind == "regions":
+        if path and os.path.exists(path):
+            return RegionStore.open(path)
+        return ZeroRegionStore()
     if path and os.path.exists(path):
         return PixelStore.open(path)
     return ZeroPixelStore(image_size)

@@ -34,6 +34,7 @@ class KGCDataModule:
         cache_dir: Optional[str] = None,
         image_features: Optional[str] = None,
         image_size: int = 224,
+        image_kind: str = "pixels",  # "pixels" | "regions"
         overwrite_cache: bool = False,
         seed: int = 1,
     ):
@@ -51,7 +52,10 @@ class KGCDataModule:
             vocab_size=text_vocab_size,
         )
         self.vocab = KGVocab(self.tokenizer, self.markg, self.mars)
-        self.store = open_store(image_features, self.markg.num_entities, image_size)
+        self.image_kind = image_kind
+        self.store = open_store(
+            image_features, self.markg.num_entities, image_size, image_kind
+        )
 
     # ----------------------------------------------------------- reference
     def get_config(self) -> Dict[str, object]:
@@ -96,24 +100,18 @@ class KGCDataModule:
     # -------------------------------------------------------------- attach
     def pixel_attach(self) -> Callable:
         store = self.store
-
-        def attach(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-            batch = dict(batch)
-            batch["pixel_values"] = store.gather(batch["img0"], batch["img1"])
-            return batch
-
-        return attach
-
-    def region_attach(self) -> Callable:
-        assert isinstance(self.store, RegionStore)
-        store = self.store
-
-        def attach(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-            batch = dict(batch)
-            feats, mask = store.gather(batch["img0"], batch["img1"])
-            batch["pixel_values"] = feats
-            batch["visual_attention_mask"] = mask
-            return batch
+        if self.image_kind == "regions":
+            def attach(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+                batch = dict(batch)
+                feats, mask = store.gather(batch["img0"], batch["img1"])
+                batch["pixel_values"] = feats
+                batch["visual_attention_mask"] = mask
+                return batch
+        else:
+            def attach(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+                batch = dict(batch)
+                batch["pixel_values"] = store.gather(batch["img0"], batch["img1"])
+                return batch
 
         return attach
 

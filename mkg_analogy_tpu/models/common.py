@@ -118,3 +118,113 @@ class MLMTransform(nn.Module):
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="dense")(x)
         x = get_activation(self.hidden_act)(x)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln")(x)
+
+
+def adaptive_weights(module: nn.Module):
+    """Declare the per-layer adaptive analogy-mask scalars
+    (w0 ~ U(0, 0.5), w1 = 0.5 — modeling_unimo.py:305-310)."""
+    w0 = module.param(
+        "adaptive_w0",
+        lambda key, shape: jax.random.uniform(key, shape, jnp.float32, 0.0, 0.5),
+        (1,),
+    )
+    w1 = module.param("adaptive_w1", nn.initializers.constant(0.5), (1,))
+    return w0, w1
+
+
+class EncoderLayer(nn.Module):
+    """Generic transformer layer: post-LN (BERT) or pre-LN (ViT) residual
+    wiring, optional adaptive analogy score multiplier."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+    pre_norm: bool = False
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None, score_multiplier=None,
+                 deterministic=True):
+        head_dim = self.hidden_size // self.num_heads
+        attn = AttentionCore(
+            num_heads=self.num_heads, head_dim=head_dim, dtype=self.dtype,
+            dropout_rate=self.attention_dropout, name="attn",
+        )
+        ln1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                           name="ln1")
+        ln2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                           name="ln2")
+        fc1 = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")
+        fc2 = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")
+        drop = nn.Dropout(self.hidden_dropout)
+        act = get_activation(self.hidden_act)
+
+        if self.pre_norm:
+            h, _ = attn(ln1(x), attention_bias=attn_bias,
+                        score_multiplier=score_multiplier,
+                        deterministic=deterministic)
+            x = x + drop(h, deterministic=deterministic)
+            h = fc2(act(fc1(ln2(x))))
+            return x + drop(h, deterministic=deterministic)
+        h, _ = attn(x, attention_bias=attn_bias,
+                    score_multiplier=score_multiplier,
+                    deterministic=deterministic)
+        x = ln1(x + drop(h, deterministic=deterministic))
+        h = fc2(act(fc1(x)))
+        return ln2(x + drop(h, deterministic=deterministic))
+
+
+class AnalogyEncoderLayer(nn.Module):
+    """EncoderLayer + per-layer adaptive analogy mask over the text block."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+    pre_norm: bool = False
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None, boundary=None, text_len=None,
+                 deterministic=True):
+        from ..ops.masks import analogy_score_multiplier
+
+        mult = None
+        w0, w1 = adaptive_weights(self)
+        if boundary is not None:
+            mult = analogy_score_multiplier(
+                boundary, x.shape[1], w0, w1, text_len=text_len
+            )
+        return EncoderLayer(
+            hidden_size=self.hidden_size, num_heads=self.num_heads,
+            intermediate_size=self.intermediate_size,
+            hidden_act=self.hidden_act, layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype, pre_norm=self.pre_norm,
+            hidden_dropout=self.hidden_dropout,
+            attention_dropout=self.attention_dropout, name="layer",
+        )(x, attn_bias=attn_bias, score_multiplier=mult,
+          deterministic=deterministic)
+
+
+def tied_logits(word_embeddings, mlm_bias, trans_hidden, compute_dtype,
+                vocab_ids=None, vocab_start=None, vocab_end=None):
+    """Tied-decoder logits over a vocab slice (shared by every MaskedLM
+    model; see UnimoForMaskedLM.logits)."""
+    table, bias = word_embeddings, mlm_bias
+    if vocab_ids is not None:
+        table = jnp.take(table, vocab_ids, axis=0)
+        bias = jnp.take(bias, vocab_ids, axis=0)
+    elif vocab_start is not None:
+        table = jax.lax.slice_in_dim(table, vocab_start, vocab_end, axis=0)
+        bias = jax.lax.slice_in_dim(bias, vocab_start, vocab_end, axis=0)
+    x = trans_hidden.astype(compute_dtype)
+    out = jnp.einsum("...h,vh->...v", x, table.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return out + bias.astype(jnp.float32)

@@ -1,13 +1,37 @@
 """Model registry: reference class names -> TPU-native constructors
-(MarT/models/model.py:7-35 parity; string dispatch as in main.py:31-35)."""
+(MarT/models/model.py:7-35 parity; string dispatch as in main.py:31-35).
+
+Each model shares the interface::
+
+    model(input_ids, attention_mask, token_type_ids, pixel_values,
+          positions, boundary=None, visual_attention_mask=None,
+          deterministic=True) -> trans_hidden (B, P, H)
+    model.logits(trans_hidden, vocab_ids|vocab_start/end) -> logits
+
+``image_input(name)`` describes the visual features each family consumes
+(the collator contract, data_module.py:121-161).
+"""
 
 from __future__ import annotations
 
 from typing import Callable, Dict
 
+from .flava import FlavaConfig, FlavaForMaskedLM
 from .unimo import TextConfig, UnimoConfig, UnimoForMaskedLM, VisionConfig
+from .vilbert import VilBertConfig, VilBertForMaskedLM
+from .vilt import ViltConfig, ViltForMaskedLM
+from .visualbert import VisualBertConfig, VisualBertForMaskedLM
 
 _REGISTRY: Dict[str, Callable] = {}
+
+# visual-input kind per model family: ("pixels", size) or ("regions",)
+IMAGE_INPUT = {
+    "MKGformerKGC": ("pixels", 224),
+    "ViltKGC": ("pixels", 384),
+    "FlavaKGC": ("pixels", 224),
+    "VisualBertKGC": ("regions", None),
+    "VilBertKGC": ("regions", None),
+}
 
 
 def register(name: str):
@@ -20,12 +44,38 @@ def register(name: str):
 
 @register("MKGformerKGC")
 def _mkgformer(vocab_size: int, dtype: str = "bfloat16", **kw):
-    cfg = UnimoConfig(
-        text=TextConfig(vocab_size=vocab_size),
-        vision=VisionConfig(),
-        dtype=dtype,
+    return UnimoForMaskedLM(
+        UnimoConfig(text=TextConfig(vocab_size=vocab_size),
+                    vision=VisionConfig(), dtype=dtype)
     )
-    return UnimoForMaskedLM(cfg)
+
+
+@register("VisualBertKGC")
+def _visualbert(vocab_size: int, dtype: str = "bfloat16", **kw):
+    return VisualBertForMaskedLM(
+        VisualBertConfig(text=TextConfig(vocab_size=vocab_size), dtype=dtype)
+    )
+
+
+@register("ViltKGC")
+def _vilt(vocab_size: int, dtype: str = "bfloat16", **kw):
+    return ViltForMaskedLM(
+        ViltConfig(text=TextConfig(vocab_size=vocab_size), dtype=dtype)
+    )
+
+
+@register("FlavaKGC")
+def _flava(vocab_size: int, dtype: str = "bfloat16", **kw):
+    return FlavaForMaskedLM(
+        FlavaConfig(text=TextConfig(vocab_size=vocab_size), dtype=dtype)
+    )
+
+
+@register("VilBertKGC")
+def _vilbert(vocab_size: int, dtype: str = "bfloat16", **kw):
+    return VilBertForMaskedLM(
+        VilBertConfig(text=TextConfig(vocab_size=vocab_size), dtype=dtype)
+    )
 
 
 def create_model(name: str, **kw):

@@ -389,6 +389,7 @@ class UnimoForMaskedLM(nn.Module):
         pixel_values,
         positions,
         boundary=None,
+        visual_attention_mask=None,  # unused: UniMo consumes raw pixels
         deterministic=True,
     ):
         """Returns transformed hidden states at ``positions`` (B, P, H).

@@ -150,7 +150,7 @@ class MarTTrainer:
         else:
             positions = finetune_positions(batch)
             boundary = batch["sep_idx"][:, 2]
-        return dict(
+        inputs = dict(
             input_ids=batch["input_ids"],
             attention_mask=batch["attention_mask"],
             token_type_ids=batch["token_type_ids"],
@@ -158,6 +158,9 @@ class MarTTrainer:
             positions=positions,
             boundary=boundary,
         )
+        if "visual_attention_mask" in batch:
+            inputs["visual_attention_mask"] = batch["visual_attention_mask"]
+        return inputs
 
     # ---------------------------------------------------------------- losses
     def _finetune_loss(self, params, batch, rng):
