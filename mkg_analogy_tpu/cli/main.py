@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_features", type=str, default=None,
                    help="path to a .npy pixel/region feature cache")
     p.add_argument("--text_vocab_size", type=int, default=8192)
+    # architecture overrides (small-scale runs / CI)
+    p.add_argument("--hidden_size", type=int, default=None)
+    p.add_argument("--num_layers", type=int, default=None)
+    p.add_argument("--num_heads", type=int, default=None)
+    p.add_argument("--intermediate_size", type=int, default=None)
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of a few train steps")
     return p
@@ -86,7 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
 def make_model(args, vocab_size: int):
     from ..models.registry import create_model
 
-    return create_model(args.model_class, vocab_size=vocab_size, dtype=args.dtype)
+    overrides = {
+        k: getattr(args, k)
+        for k in ("hidden_size", "num_layers", "num_heads", "intermediate_size")
+        if getattr(args, k, None)
+    }
+    return create_model(args.model_class, vocab_size=vocab_size,
+                        dtype=args.dtype, **overrides)
 
 
 def main(argv=None):

@@ -378,3 +378,31 @@ def eval_both_sides(model, variables, test: np.ndarray, to_skip,
     for k, v in rank_metrics(jnp.asarray(both), ks=(1, 3, 5, 10)).items():
         out[k] = float(v)
     return out
+
+
+class CPModel(nn.Module):
+    """Canonical-Polyadic factorization (RSME models.py:103-150): separate
+    lhs/rel/rhs tables, score = <lhs, rel, rhs>."""
+
+    num_entities: int
+    num_relations: int  # base count; reciprocal doubles it at the call site
+    rank: int = 1000
+    init_size: float = 1e-3
+
+    def setup(self):
+        init = nn.initializers.normal(self.init_size)
+        self.lhs = self.param("lhs", init, (self.num_entities, self.rank))
+        self.rel = self.param("rel", init, (2 * self.num_relations, self.rank))
+        self.rhs = self.param("rhs", init, (self.num_entities, self.rank))
+
+    def __call__(self, x: jnp.ndarray):
+        lhs = jnp.take(self.lhs, x[:, 0], axis=0)
+        rel = jnp.take(self.rel, x[:, 1], axis=0)
+        rhs = jnp.take(self.rhs, x[:, 2], axis=0)
+        preds = (lhs * rel) @ self.rhs.T
+        return preds, (lhs, rel, rhs)
+
+    def ranking_scores(self, queries: jnp.ndarray):
+        lhs = jnp.take(self.lhs, queries[:, 0], axis=0)
+        rel = jnp.take(self.rel, queries[:, 1], axis=0)
+        return (lhs * rel) @ self.rhs.T

@@ -34,6 +34,16 @@ IMAGE_INPUT = {
 }
 
 
+def _text_cfg(vocab_size: int, kw: dict) -> TextConfig:
+    """TextConfig with optional size overrides (hidden_size, num_layers,
+    num_heads, intermediate_size, max_position_embeddings) — used by tests
+    and small-scale runs."""
+    fields = {k: v for k, v in kw.items() if k in (
+        "hidden_size", "num_layers", "num_heads", "intermediate_size",
+        "max_position_embeddings")}
+    return TextConfig(vocab_size=vocab_size, **fields)
+
+
 def register(name: str):
     def deco(fn):
         _REGISTRY[name] = fn
@@ -44,37 +54,44 @@ def register(name: str):
 
 @register("MKGformerKGC")
 def _mkgformer(vocab_size: int, dtype: str = "bfloat16", **kw):
+    text = _text_cfg(vocab_size, kw)
+    # lockstep towers: vision mirrors any size overrides
+    vision = VisionConfig(
+        hidden_size=text.hidden_size, num_layers=text.num_layers,
+        num_heads=text.num_heads, intermediate_size=text.intermediate_size,
+    )
+    fusion_start = max(0, text.num_layers - 4)
     return UnimoForMaskedLM(
-        UnimoConfig(text=TextConfig(vocab_size=vocab_size),
-                    vision=VisionConfig(), dtype=dtype)
+        UnimoConfig(text=text, vision=vision, fusion_start=fusion_start,
+                    dtype=dtype)
     )
 
 
 @register("VisualBertKGC")
 def _visualbert(vocab_size: int, dtype: str = "bfloat16", **kw):
     return VisualBertForMaskedLM(
-        VisualBertConfig(text=TextConfig(vocab_size=vocab_size), dtype=dtype)
+        VisualBertConfig(text=_text_cfg(vocab_size, kw), dtype=dtype)
     )
 
 
 @register("ViltKGC")
 def _vilt(vocab_size: int, dtype: str = "bfloat16", **kw):
     return ViltForMaskedLM(
-        ViltConfig(text=TextConfig(vocab_size=vocab_size), dtype=dtype)
+        ViltConfig(text=_text_cfg(vocab_size, kw), dtype=dtype)
     )
 
 
 @register("FlavaKGC")
 def _flava(vocab_size: int, dtype: str = "bfloat16", **kw):
     return FlavaForMaskedLM(
-        FlavaConfig(text=TextConfig(vocab_size=vocab_size), dtype=dtype)
+        FlavaConfig(text=_text_cfg(vocab_size, kw), dtype=dtype)
     )
 
 
 @register("VilBertKGC")
 def _vilbert(vocab_size: int, dtype: str = "bfloat16", **kw):
     return VilBertForMaskedLM(
-        VilBertConfig(text=TextConfig(vocab_size=vocab_size), dtype=dtype)
+        VilBertConfig(text=_text_cfg(vocab_size, kw), dtype=dtype)
     )
 
 

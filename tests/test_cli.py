@@ -1,0 +1,94 @@
+"""End-to-end CLI flows on the tiny synthetic KG (tiny model overrides)."""
+
+import numpy as np
+import pytest
+
+from tests.util import make_tiny_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_kg")
+    markg_dir, mars_dir = make_tiny_dataset(str(root))
+    return str(root), markg_dir, mars_dir
+
+
+def test_main_cli_finetune(dataset, tmp_path):
+    from mkg_analogy_tpu.cli.main import main
+
+    root, markg_dir, mars_dir = dataset
+    metrics = main([
+        "--data_dir", mars_dir,
+        "--pretrain_path", markg_dir,
+        "--model_class", "MKGformerKGC",
+        "--max_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--max_seq_length", "48",
+        "--text_vocab_size", "256",
+        "--hidden_size", "32",
+        "--num_layers", "2",
+        "--num_heads", "2",
+        "--intermediate_size", "64",
+        "--dtype", "float32",
+        "--dp", "8",
+        "--output_dir", str(tmp_path / "out"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--cache_dir", str(tmp_path / "cache"),
+    ])
+    assert "Eval_entity/mrr" in metrics
+    assert 0 < metrics["Eval_entity/mrr"] <= 1
+
+
+def test_ikrl_cli_pretrain_and_finetune(dataset, tmp_path):
+    from mkg_analogy_tpu.cli.ikrl import main
+
+    root, markg_dir, mars_dir = dataset
+    common = [
+        "--data_dir", mars_dir, "--pretrain_path", markg_dir,
+        "--model", "transe", "--dim", "16",
+        "--output_dir", str(tmp_path / "ikrl"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--nbatches", "2",
+    ]
+    m = main(common + ["--train_times", "2"])
+    assert 0 < m["mrr"] <= 1
+    m2 = main(common + ["--finetune", "--finetune_epochs", "2",
+                        "--finetune_bsz", "6",
+                        "--ckpt", str(tmp_path / "ikrl" / "ckpt")])
+    assert "mrr" in m2
+
+
+def test_rsme_cli(dataset, tmp_path):
+    from mkg_analogy_tpu.cli.rsme import main
+
+    root, markg_dir, mars_dir = dataset
+    m = main([
+        "--data_dir", mars_dir, "--pretrain_path", markg_dir,
+        "--model", "ComplEx", "--rank", "8", "--max_epochs", "2",
+        "--valid", "2", "--batch_size", "16", "--learning_rate", "0.1",
+        "--output_dir", str(tmp_path / "rsme"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert 0 < m["mrr"] <= 1
+    m2 = main([
+        "--data_dir", mars_dir, "--pretrain_path", markg_dir,
+        "--model", "Analogy", "--rank", "8", "--max_epochs", "2",
+        "--batch_size", "6", "--learning_rate", "0.1", "--finetune",
+        "--output_dir", str(tmp_path / "rsme_ft"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert "mrr" in m2
+
+
+def test_transae_cli(dataset, tmp_path):
+    from mkg_analogy_tpu.cli.ikrl import main
+
+    root, markg_dir, mars_dir = dataset
+    m = main([
+        "--data_dir", mars_dir, "--pretrain_path", markg_dir,
+        "--transae", "--dim", "16", "--train_times", "1", "--nbatches", "2",
+        "--output_dir", str(tmp_path / "transae"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert "mrr" in m
