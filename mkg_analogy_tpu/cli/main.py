@@ -151,6 +151,7 @@ def main(argv=None):
         pretrain=bool(args.pretrain),
         seed=args.seed,
         check_val_every_n_epoch=args.check_val_every_n_epoch,
+        profile_dir=os.path.join(args.log_dir, "profile") if args.profile else None,
     )
     logger = MetricLogger(args.log_dir)
     trainer = MarTTrainer(model, data.vocab, cfg, mesh=mesh, logger=logger)

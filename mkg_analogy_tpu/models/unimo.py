@@ -85,6 +85,7 @@ class UnimoConfig:
     vision: VisionConfig = field(default_factory=VisionConfig)
     fusion_start: int = 8  # first layer with cross-modal flow (idx >= 8)
     dtype: str = "bfloat16"
+    remat: bool = False  # jax.checkpoint each layer (memory for FLOPs)
 
     @property
     def compute_dtype(self):
@@ -304,25 +305,29 @@ class UnimoEncoder(nn.Module):
         assert cfg.text.num_layers == cfg.vision.num_layers
         vision_h, text_h = vision_embeds, text_embeds
         prev_text_kv: Optional[Tuple] = None
+        CLIPLayerCls, BertLayerCls = CLIPLayer, BertLayer
+        if cfg.remat:
+            CLIPLayerCls = nn.remat(CLIPLayer, static_argnums=(4,))
+            BertLayerCls = nn.remat(BertLayer, static_argnums=(5, 6))
         for idx in range(cfg.text.num_layers):
             # Vision layer idx >= fusion_start attends over the *previous*
             # text layer's K/V (exported from idx >= fusion_start - 1).
             extra_kv = prev_text_kv if idx >= cfg.fusion_start else None
-            vision_h = CLIPLayer(cfg.vision, dtype=dtype, name=f"vision_{idx}")(
+            vision_h = CLIPLayerCls(cfg.vision, dtype=dtype, name=f"vision_{idx}")(
                 vision_h,
-                extra_kv=extra_kv,
-                extra_kv_bias=attn_bias if extra_kv is not None else None,
-                deterministic=deterministic,
+                extra_kv,
+                attn_bias if extra_kv is not None else None,
+                deterministic,
             )
             vision_for_text = vision_h if idx >= cfg.fusion_start else None
             output_kv = idx >= cfg.fusion_start - 1
-            text_h, kv = BertLayer(cfg.text, dtype=dtype, name=f"text_{idx}")(
+            text_h, kv = BertLayerCls(cfg.text, dtype=dtype, name=f"text_{idx}")(
                 text_h,
                 attn_bias,
-                boundary=boundary,
-                vision_hidden=vision_for_text,
-                output_kv=output_kv,
-                deterministic=deterministic,
+                boundary,
+                vision_for_text,
+                output_kv,
+                deterministic,
             )
             prev_text_kv = kv
         return text_h, vision_h

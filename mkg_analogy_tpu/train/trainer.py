@@ -58,6 +58,7 @@ class TrainConfig:
     check_val_every_n_epoch: int = 1
     log_every: int = 50
     max_grad_norm: Optional[float] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 5..10
 
 
 class TrainState(train_state.TrainState):
@@ -316,26 +317,34 @@ class MarTTrainer:
         best_mrr, best_hits10, since_best = -1.0, -1.0, 0
         best_metrics: Dict[str, float] = {}
         global_step = 0
+        from ..utils.profiling import StepTimer
+
+        timer = StepTimer()
         with self.mesh:
             for epoch in range(cfg.max_epochs):
                 t_epoch = time.time()
                 n_examples = 0
                 for batch in train_it:
+                    if cfg.profile_dir and global_step == 5:
+                        jax.profiler.start_trace(cfg.profile_dir)
                     batch.pop("valid", None)
                     dbatch = self._put_batch(batch)
+                    timer.start()
                     state, metrics = train_step(state, dbatch, step_rng)
+                    timer.stop()
                     global_step += 1
                     n_examples += cfg.batch_size
+                    if cfg.profile_dir and global_step == 10:
+                        jax.block_until_ready(metrics["loss"])
+                        jax.profiler.stop_trace()
                     if global_step % cfg.log_every == 0:
                         host = {k: float(v) for k, v in
                                 jax.device_get(metrics).items()}
                         self.logger.log(global_step, host, prefix="train/")
                 dt = time.time() - t_epoch
-                self.logger.log(
-                    global_step,
-                    {"epoch": epoch, "examples_per_sec": n_examples / dt},
-                    prefix="train/",
-                )
+                epoch_stats = {"epoch": epoch, "examples_per_sec": n_examples / dt}
+                epoch_stats.update(timer.stats())
+                self.logger.log(global_step, epoch_stats, prefix="train/")
                 if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
                     eval_metrics = self.evaluate(
                         state.params, dev_features, attach=eval_attach or attach
