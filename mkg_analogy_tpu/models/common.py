@@ -15,7 +15,9 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 ACT2FN: dict = {
-    "gelu": nn.gelu,
+    # exact erf gelu (torch.nn.functional.gelu default / BERT parity);
+    # flax's nn.gelu defaults to the tanh approximation.
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "relu": nn.relu,
     "quick_gelu": quick_gelu,
     "gelu_new": lambda x: nn.gelu(x, approximate=True),
@@ -50,6 +52,7 @@ class AttentionCore(nn.Module):
         extra_kv: Optional[tuple] = None,
         extra_kv_bias: Optional[jnp.ndarray] = None,
         output_kv: bool = False,
+        output_context: bool = False,
         deterministic: bool = True,
     ):
         b, l, _ = hidden_states.shape
@@ -96,6 +99,10 @@ class AttentionCore(nn.Module):
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, inner)
         out = nn.Dense(inner, dtype=self.dtype, use_bias=self.out_bias, name="out")(ctx)
+        if output_context:
+            # raw pre-out-projection context (UniMo's BertFusion consumes
+            # this, modeling_unimo.py:367-373)
+            return out, kv_out, ctx
         return out, kv_out
 
 

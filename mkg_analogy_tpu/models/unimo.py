@@ -248,7 +248,7 @@ class BertLayer(nn.Module):
             score_mult = analogy_score_multiplier(
                 boundary, x.shape[1], w0, w1, dtype=jnp.float32
             )
-        ctx, kv = AttentionCore(
+        out, kv, raw_ctx = AttentionCore(
             num_heads=cfg.num_heads,
             head_dim=cfg.head_dim,
             dtype=self.dtype,
@@ -259,12 +259,13 @@ class BertLayer(nn.Module):
             attention_bias=attn_bias,
             score_multiplier=score_mult,
             output_kv=output_kv,
+            output_context=True,
             deterministic=deterministic,
         )
-        ctx = nn.Dropout(cfg.hidden_dropout)(ctx, deterministic=deterministic)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         attn_out = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attn_ln"
-        )(ctx + x)
+        )(out + x)
 
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(
             attn_out
@@ -275,7 +276,9 @@ class BertLayer(nn.Module):
             cfg.intermediate_size, dtype=self.dtype, name="fusion_dense"
         )
         if vision_hidden is not None:
-            fusion_out = BertFusion(name="fusion")(attn_out, vision_hidden)
+            # fusion consumes the RAW attention context, pre out-projection
+            # (modeling_unimo.py:367-373)
+            fusion_out = BertFusion(name="fusion")(raw_ctx, vision_hidden)
             h = h + fusion_proj(fusion_out)
         h = get_activation(cfg.hidden_act)(h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(h)
