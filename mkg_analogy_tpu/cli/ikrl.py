@@ -52,6 +52,8 @@ def build_parser():
     p.add_argument("--use_native_sampler", action="store_true",
                    help="sample via the C++ kgsampler library")
     p.add_argument("--task_mode", choices=["text", "random"], default="text")
+    p.add_argument("--triple_classification", action="store_true",
+                   help="also run triple classification after link prediction")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_dir", default="training/logs")
     return p
@@ -149,6 +151,28 @@ def main(argv=None):
         )
         logger.log(int(state.step), metrics, prefix="link_prediction/")
         print({k: metrics[k] for k in ("mrr", "mr", "hit10", "hit3", "hit1")})
+
+        if args.triple_classification:
+            from ..kge.eval import triple_classification
+            from ..kge.sampling import NegativeSampler as _NS
+
+            # corrupted negatives for classification (getTestBatch parity)
+            neg_sampler = _NS(store, batch_size=len(store), neg_ent=1,
+                              neg_rel=0, bern=True, seed=args.seed)
+            nb = neg_sampler._normal_batch(np.arange(len(store)))
+            n = len(store)
+            neg_store = TripleStore(
+                nb["batch_h"][n : 2 * n], nb["batch_t"][n : 2 * n],
+                nb["batch_r"][n : 2 * n], store.num_entities,
+                store.num_relations,
+            )
+            score_fn = jax.jit(
+                lambda h, t, r, tm: model.apply(variables, h, t, r, tm)
+            )
+            acc, thr = triple_classification(score_fn, store, neg_store)
+            logger.log(int(state.step), {"acc": acc, "threshold": thr},
+                       prefix="triple_classification/")
+            print({"triple_classification_acc": acc})
         return metrics
 
     tuples = mars_finetune_tuples(mars, markg)
