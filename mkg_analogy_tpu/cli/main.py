@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intermediate_size", type=int, default=None)
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of a few train steps")
+    p.add_argument("--prng", type=str, default="unsafe_rbg",
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                   help="JAX PRNG impl; rbg variants are ~20%% faster "
+                        "per train step on TPU (dropout mask generation)")
     return p
 
 
@@ -103,6 +107,7 @@ def make_model(args, vocab_size: int):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     print(args)
+    jax.config.update("jax_default_prng_impl", args.prng)
 
     from ..core.mesh import make_mesh
     from ..data.module import KGCDataModule

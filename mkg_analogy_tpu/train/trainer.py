@@ -325,6 +325,10 @@ class MarTTrainer:
                 t_epoch = time.time()
                 n_examples = 0
                 for batch in train_it:
+                    if global_step == 0 and hasattr(self.vocab, "decode"):
+                        # decoded-sample print at batch 0 (transformer.py:111)
+                        for row in batch["input_ids"][:2]:
+                            print(self.vocab.decode(row[row != 0][:48]))
                     if cfg.profile_dir and global_step == 5:
                         jax.profiler.start_trace(cfg.profile_dir)
                     batch.pop("valid", None)

@@ -1,0 +1,78 @@
+"""Optimizer factory: schedules, no-decay groups, grad accumulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mkg_analogy_tpu.train.optim import (
+    linear_warmup_linear_decay,
+    make_optimizer,
+    no_decay_mask,
+)
+
+
+def test_schedule_shape():
+    sched = linear_warmup_linear_decay(1e-3, total_steps=100, warmup_ratio=0.1)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    assert float(sched(55)) < 1e-3
+    np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-9)
+
+
+def test_no_decay_mask():
+    params = {
+        "layer": {"kernel": jnp.zeros((2, 2)), "bias": jnp.zeros((2,))},
+        "ln": {"scale": jnp.ones((2,)), "bias": jnp.zeros((2,))},
+        "word_embeddings": jnp.zeros((4, 2)),
+    }
+    mask = no_decay_mask(params)
+    assert mask["layer"]["kernel"] is True
+    assert mask["layer"]["bias"] is False
+    assert mask["ln"]["scale"] is False
+    assert mask["ln"]["bias"] is False
+    assert mask["word_embeddings"] is True  # embeddings DO decay (reference)
+
+
+def test_weight_decay_only_on_kernels():
+    params = {
+        "layer": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+    }
+    tx = make_optimizer(lr=0.0, total_steps=10, warmup_ratio=0.0,
+                        weight_decay=0.1)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # lr==0 via schedule start -> no update at step 0 anyway; use step 1 lr.
+    # Instead check directionally with a fixed-lr optimizer:
+    tx2 = optax.adamw(1e-2, weight_decay=0.1,
+                      mask=no_decay_mask)
+    s2 = tx2.init(params)
+    u2, _ = tx2.update(grads, s2, params)
+    assert float(jnp.abs(u2["layer"]["kernel"]).sum()) > 0  # decayed
+    assert float(jnp.abs(u2["layer"]["bias"]).sum()) == 0  # not decayed
+
+
+def test_grad_accumulation_equivalence():
+    """MultiSteps(k) over k microbatches == one step on the mean grad."""
+    params = {"w": jnp.ones((4,))}
+
+    tx_plain = optax.sgd(0.1)
+    tx_accum = optax.MultiSteps(optax.sgd(0.1), every_k_schedule=2)
+
+    g1 = {"w": jnp.asarray([1.0, 2.0, 3.0, 4.0])}
+    g2 = {"w": jnp.asarray([3.0, 2.0, 1.0, 0.0])}
+    mean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+
+    s = tx_accum.init(params)
+    u1, s = tx_accum.update(g1, s, params)
+    p_mid = optax.apply_updates(params, u1)
+    np.testing.assert_allclose(np.asarray(p_mid["w"]), np.asarray(params["w"]))
+    u2, s = tx_accum.update(g2, s, p_mid)
+    p_after = optax.apply_updates(p_mid, u2)
+
+    sp = tx_plain.init(params)
+    up, _ = tx_plain.update(mean, sp, params)
+    p_ref = optax.apply_updates(params, up)
+    np.testing.assert_allclose(np.asarray(p_after["w"]), np.asarray(p_ref["w"]),
+                               rtol=1e-6)
