@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intermediate_size", type=int, default=None)
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of a few train steps")
+    p.add_argument("--host_gather", action="store_true", default=False,
+                   help="gather image features on host per batch (reference-"
+                        "style) instead of the device-resident table")
     p.add_argument("--prng", type=str, default="unsafe_rbg",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
                    help="JAX PRNG impl; rbg variants are ~20%% faster "
@@ -162,7 +165,12 @@ def main(argv=None):
     trainer = MarTTrainer(model, data.vocab, cfg, mesh=mesh, logger=logger)
     ckpt = Checkpointer(os.path.join(args.output_dir, "ckpt"))
 
-    attach = data.pixel_attach()
+    if args.host_gather:
+        attach = data.pixel_attach()
+    else:
+        # device-resident feature table: only int indices cross the link
+        trainer.set_image_table(data.device_table(), kind=kind)
+        attach = None
     if args.pretrain:
         train_feats = data.features("train")
         dev_feats = train_feats  # reference evaluates pretrain on train triples

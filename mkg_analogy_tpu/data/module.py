@@ -115,6 +115,21 @@ class KGCDataModule:
 
         return attach
 
+    def device_table(self) -> np.ndarray:
+        """Entity feature table (with a trailing zero pad row) for
+        device-resident gathering (MarTTrainer.set_image_table). Zero stores
+        collapse to a single pad row."""
+        feats = getattr(self.store, "features", None)
+        if feats is None:
+            if self.image_kind == "regions":
+                from .images import RegionStore
+
+                return np.zeros((1, RegionStore.num_regions, RegionStore.feat_dim),
+                                np.float32)
+            return np.zeros((1,) + self.store.image_shape, np.float32)
+        pad = np.zeros((1,) + feats.shape[1:], feats.dtype)
+        return np.concatenate([np.asarray(feats), pad], axis=0)
+
     def iterator(
         self, split: str, batch_size: int, shuffle: bool, pad_tail: bool = False
     ) -> BatchIterator:

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from ml_dtypes import bfloat16 as ml_bfloat16
 from flax.training import train_state
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -95,13 +96,31 @@ class MarTTrainer:
         self.logger = logger or MetricLogger()
         self.analogy_entity_ids = jnp.asarray(vocab.analogy_entity_ids)
         self._jitted: Dict[str, Any] = {}
+        self.image_table = None  # optional device-resident feature table
+        self.image_kind = "pixels"
+
+    def set_image_table(self, table: np.ndarray, kind: str = "pixels") -> None:
+        """Keep the entity image features ON DEVICE (bf16) and gather by
+        img0/img1 indices inside the jitted step — only int indices cross
+        the host->device link per batch instead of (B, 2, 3, S, S) floats
+        (the reference ships a ~7GB host table through its collator every
+        batch, data_module.py:121-161). The last row must be the zero/pad
+        row for -1 slots."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.image_kind = kind
+        sharding = NamedSharding(self.mesh, P())
+        self.image_table = jax.device_put(
+            jnp.asarray(table, jnp.bfloat16), sharding
+        )
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: jax.Array, sample_batch: Dict[str, np.ndarray],
                    total_steps: int) -> TrainState:
         cfg = self.config
         batch = {k: jnp.asarray(v[:1]) for k, v in sample_batch.items()}
-        init_args = self._model_inputs(batch, train=False)
+        init_args = self._model_inputs(batch, train=False,
+                                       image_table=self.image_table)
         params = jax.eval_shape(
             lambda r: self.model.init(r, **init_args, deterministic=True), rng
         )
@@ -143,7 +162,23 @@ class MarTTrainer:
         return params
 
     # ---------------------------------------------------------------- model io
-    def _model_inputs(self, batch, train: bool):
+    def _gather_images(self, batch, image_table):
+        """Device-side feature gather: (B,) img0/img1 entity ids -> model
+        visual inputs (-1 maps to the zero pad row)."""
+        pad_row = image_table.shape[0] - 1
+        idx = jnp.stack([batch["img0"], batch["img1"]], axis=1)  # (B, 2)
+        valid = idx >= 0
+        # -1 and out-of-range ids (1-row zero tables) go to the pad row
+        idx = jnp.where(valid & (idx < pad_row), idx, pad_row)
+        feats = jnp.take(image_table, idx, axis=0)  # (B, 2, ...)
+        if self.image_kind == "regions":
+            b, _, n_reg, d = feats.shape
+            pixel_values = feats.reshape(b, 2 * n_reg, d)
+            vam = jnp.repeat(valid.astype(jnp.float32), n_reg, axis=1)
+            return pixel_values, vam
+        return feats, None
+
+    def _model_inputs(self, batch, train: bool, image_table=None):
         cfg = self.config
         if cfg.pretrain:
             positions = batch["mask_idx"][:, None]
@@ -151,22 +186,27 @@ class MarTTrainer:
         else:
             positions = finetune_positions(batch)
             boundary = batch["sep_idx"][:, 2]
+        if image_table is not None:
+            pixel_values, vam = self._gather_images(batch, image_table)
+        else:
+            pixel_values = batch["pixel_values"]
+            vam = batch.get("visual_attention_mask")
         inputs = dict(
             input_ids=batch["input_ids"],
             attention_mask=batch["attention_mask"],
             token_type_ids=batch["token_type_ids"],
-            pixel_values=batch["pixel_values"],
+            pixel_values=pixel_values,
             positions=positions,
             boundary=boundary,
         )
-        if "visual_attention_mask" in batch:
-            inputs["visual_attention_mask"] = batch["visual_attention_mask"]
+        if vam is not None:
+            inputs["visual_attention_mask"] = vam
         return inputs
 
     # ---------------------------------------------------------------- losses
-    def _finetune_loss(self, params, batch, rng):
+    def _finetune_loss(self, params, batch, rng, image_table=None):
         cfg = self.config
-        inputs = self._model_inputs(batch, train=True)
+        inputs = self._model_inputs(batch, train=True, image_table=image_table)
         trans = self.model.apply(
             params, **inputs, deterministic=False, rngs={"dropout": rng}
         )
@@ -181,10 +221,10 @@ class MarTTrainer:
         loss = ce + cfg.alpha * sim
         return loss, {"loss": loss, "ce": ce, "sim": sim}
 
-    def _pretrain_loss(self, params, batch, rng):
+    def _pretrain_loss(self, params, batch, rng, image_table=None):
         cfg = self.config
         v = self.vocab
-        inputs = self._model_inputs(batch, train=True)
+        inputs = self._model_inputs(batch, train=True, image_table=image_table)
         trans = self.model.apply(
             params, **inputs, deterministic=False, rngs={"dropout": rng}
         )
@@ -213,19 +253,19 @@ class MarTTrainer:
         return loss, {"loss": loss, "ent_loss": ent_loss, "rel_loss": rel_loss}
 
     # ------------------------------------------------------------------ steps
-    def _train_step(self, state: TrainState, batch, rng):
+    def _train_step(self, state: TrainState, batch, rng, image_table=None):
         rng = jax.random.fold_in(rng, state.step)
         loss_fn = self._pretrain_loss if self.config.pretrain else self._finetune_loss
         grads, metrics = jax.grad(
-            lambda p: loss_fn(p, batch, rng), has_aux=True
+            lambda p: loss_fn(p, batch, rng, image_table), has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads=grads)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    def _eval_step(self, params, batch):
+    def _eval_step(self, params, batch, image_table=None):
         v = self.vocab
-        inputs = self._model_inputs(batch, train=False)
+        inputs = self._model_inputs(batch, train=False, image_table=image_table)
         trans = self.model.apply(params, **inputs, deterministic=True)
         if self.config.pretrain:
             logits = self.model.apply(
@@ -256,6 +296,14 @@ class MarTTrainer:
         return self._jitted[name]
 
     def _put_batch(self, batch: Dict[str, np.ndarray]):
+        # Halve H2D bytes: float inputs (pixels) go over the wire as
+        # bfloat16 — the model computes in bf16 anyway.
+        batch = {
+            k: v.astype(ml_bfloat16)
+            if getattr(v, "dtype", None) == np.float32
+            else v
+            for k, v in batch.items()
+        }
         spec = batch_spec(batch)
         shardings = make_shardings(self.mesh, spec)
         return jax.device_put(batch, shardings)
@@ -271,7 +319,10 @@ class MarTTrainer:
         all_ranks, all_is_rel = [], []
         with self.mesh:
             for batch in it:
-                out = step(params, self._put_batch(batch))
+                if self.image_table is not None:
+                    out = step(params, self._put_batch(batch), self.image_table)
+                else:
+                    out = step(params, self._put_batch(batch))
                 out = jax.device_get(out)
                 m = out["valid"]
                 all_ranks.append(out["ranks"][m])
@@ -334,7 +385,11 @@ class MarTTrainer:
                     batch.pop("valid", None)
                     dbatch = self._put_batch(batch)
                     timer.start()
-                    state, metrics = train_step(state, dbatch, step_rng)
+                    if self.image_table is not None:
+                        state, metrics = train_step(state, dbatch, step_rng,
+                                                    self.image_table)
+                    else:
+                        state, metrics = train_step(state, dbatch, step_rng)
                     timer.stop()
                     global_step += 1
                     n_examples += cfg.batch_size
