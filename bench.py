@@ -27,6 +27,10 @@ import jax
 # of the step; rbg is the TPU-native generator).
 jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
+from mkg_analogy_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -62,6 +62,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     print(args)
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ..data.readers import MARS, MarKG
     from ..kge.eval import analogical_reasoning, build_filters, link_prediction

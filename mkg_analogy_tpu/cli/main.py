@@ -111,6 +111,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     print(args)
     jax.config.update("jax_default_prng_impl", args.prng)
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ..core.mesh import make_mesh
     from ..data.module import KGCDataModule

@@ -55,6 +55,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     print(args)
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ..data.gates import build_gates
     from ..data.readers import MARS, MarKG
