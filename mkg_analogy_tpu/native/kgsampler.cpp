@@ -128,20 +128,6 @@ bool contains(const std::vector<Triple> &sorted_hrt, INT h, INT r, INT t) {
   return it != sorted_hrt.end() && it->h == h && it->r == r && it->t == t;
 }
 
-// range of triples with fixed (h, r) in g_train_hrt
-std::pair<size_t, size_t> range_hr(INT h, INT r) {
-  Triple lo{h, r, INT(-1)}, hi{h, r, INT(1) << 60};
-  auto a = std::lower_bound(g_train_hrt.begin(), g_train_hrt.end(), lo, cmp_hrt);
-  auto b = std::upper_bound(g_train_hrt.begin(), g_train_hrt.end(), hi, cmp_hrt);
-  return {size_t(a - g_train_hrt.begin()), size_t(b - g_train_hrt.begin())};
-}
-std::pair<size_t, size_t> range_tr(INT t, INT r) {
-  Triple lo{INT(-1), r, t}, hi{INT(1) << 60, r, t};
-  auto a = std::lower_bound(g_train_trh.begin(), g_train_trh.end(), lo, cmp_trh);
-  auto b = std::upper_bound(g_train_trh.begin(), g_train_trh.end(), hi, cmp_trh);
-  return {size_t(a - g_train_trh.begin()), size_t(b - g_train_trh.begin())};
-}
-
 bool train_has_tail(INT h, INT r, INT t) { return contains(g_train_hrt, h, r, t); }
 bool train_has_rel(INT h, INT t, INT r) {
   Triple key{h, r, t};
