@@ -32,7 +32,14 @@ class PixelStore:
         self.image_shape = features.shape[1:]
 
     @classmethod
-    def open(cls, path: str) -> "PixelStore":
+    def open(cls, path: str, entities=None) -> "PixelStore":
+        """Open a feature cache: ``.npy`` (this framework) or the
+        reference's ``.pth`` stacked torch tensor
+        (entity_image_features.CLIP-VIT-16-32.pth, data_module.py:209)."""
+        if path.endswith((".pth", ".pt")):
+            import torch
+
+            return cls(torch.load(path, map_location="cpu").numpy())
         return cls(np.load(path, mmap_mode="r"))
 
     @classmethod
@@ -78,7 +85,24 @@ class RegionStore:
         self.features = features
 
     @classmethod
-    def open(cls, path: str) -> "RegionStore":
+    def open(cls, path: str, entities=None) -> "RegionStore":
+        """Open ``.npy`` (this framework) or the reference's
+        ``analogy_entity2vec.pickle`` dict {qid: (36, 2048)}
+        (data_module.py:202-205) — the dict form needs the entity order."""
+        if path.endswith((".pickle", ".pkl")):
+            import pickle
+
+            with open(path, "rb") as f:
+                d = pickle.load(f)
+            assert entities is not None, "pickle region store needs entity order"
+            feats = np.zeros((len(entities), cls.num_regions, cls.feat_dim),
+                             np.float32)
+            for i, e in enumerate(entities):
+                if e in d:
+                    feats[i] = np.asarray(d[e], np.float32).reshape(
+                        cls.num_regions, cls.feat_dim
+                    )
+            return cls(feats)
         return cls(np.load(path, mmap_mode="r"))
 
     @classmethod
@@ -120,14 +144,14 @@ class ZeroRegionStore(RegionStore):
 
 def open_store(
     path: Optional[str], num_entities: int, image_size: int = 224,
-    kind: str = "pixels",
+    kind: str = "pixels", entities=None,
 ):
     """Open the feature store a model family consumes ("pixels" or
     "regions"); fall back to zeros when no cache is present."""
     if kind == "regions":
         if path and os.path.exists(path):
-            return RegionStore.open(path)
+            return RegionStore.open(path, entities=entities)
         return ZeroRegionStore()
     if path and os.path.exists(path):
-        return PixelStore.open(path)
+        return PixelStore.open(path, entities=entities)
     return ZeroPixelStore(image_size)

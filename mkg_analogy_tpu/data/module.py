@@ -54,7 +54,8 @@ class KGCDataModule:
         self.vocab = KGVocab(self.tokenizer, self.markg, self.mars)
         self.image_kind = image_kind
         self.store = open_store(
-            image_features, self.markg.num_entities, image_size, image_kind
+            image_features, self.markg.num_entities, image_size, image_kind,
+            entities=self.markg.entities,
         )
 
     # ----------------------------------------------------------- reference

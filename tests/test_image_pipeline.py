@@ -161,3 +161,25 @@ def test_vision_encoders_forward():
     params = vit.init(jax.random.PRNGKey(0), px)
     out = vit.apply(params, px)
     assert out.shape == (2, 10)
+
+
+def test_store_reference_formats(tmp_path):
+    """Reference cache formats load: .pth pixel tensors, .pickle region dicts."""
+    torch = pytest.importorskip("torch")
+    import pickle
+
+    from mkg_analogy_tpu.data.images import PixelStore, RegionStore
+
+    feats = np.arange(2 * 3 * 4 * 4, dtype=np.float32).reshape(2, 3, 4, 4)
+    p = tmp_path / "pixels.pth"
+    torch.save(torch.from_numpy(feats), str(p))
+    store = PixelStore.open(str(p))
+    np.testing.assert_array_equal(store.features, feats)
+
+    d = {"Q1": np.ones((36, 2048), np.float32)}
+    p2 = tmp_path / "regions.pickle"
+    with open(p2, "wb") as f:
+        pickle.dump(d, f)
+    rstore = RegionStore.open(str(p2), entities=["Q0", "Q1"])
+    assert rstore.features.shape == (2, 36, 2048)
+    assert rstore.features[0].sum() == 0 and rstore.features[1].sum() > 0
