@@ -24,6 +24,7 @@ from .common import (
     AnalogyEncoderLayer,
     EncoderLayer,
     MLMTransform,
+    PatchEmbed,
     gather_positions,
     tied_logits,
 )
@@ -68,9 +69,8 @@ class FlavaImageEmbeddings(nn.Module):
         x = pixel_values.astype(dtype).reshape(
             b * 2, 3, cfg.image_size, cfg.image_size
         ).transpose(0, 2, 3, 1)
-        patches = nn.Conv(
-            H, (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size), dtype=dtype,
+        patches = PatchEmbed(
+            H, cfg.patch_size, dtype=dtype, use_bias=True,
             name="patch_embedding",
         )(x).reshape(b, 2 * cfg.patches_per_image, H)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, H))

@@ -30,7 +30,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.masks import analogy_score_multiplier, attention_bias
-from .common import AttentionCore, MLMTransform, gather_positions, get_activation
+from .common import (
+    AttentionCore,
+    MLMTransform,
+    PatchEmbed,
+    gather_positions,
+    get_activation,
+)
 
 
 @dataclass(frozen=True)
@@ -108,14 +114,10 @@ class CLIPVisionEmbeddings(nn.Module):
         n_img = cfg.num_images
         x = x.reshape(b * n_img, 3, cfg.image_size, cfg.image_size)
         x = x.transpose(0, 2, 3, 1)
-        patches = nn.Conv(
-            cfg.hidden_size,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
+        patches = PatchEmbed(
+            cfg.hidden_size, cfg.patch_size, dtype=self.dtype, use_bias=False,
             name="patch_embedding",
-        )(x)  # (B*N, 7, 7, H)
+        )(x)  # (B*N, 49, H)
         patches = patches.reshape(b, n_img * cfg.patches_per_image, cfg.hidden_size)
 
         cls = self.param(

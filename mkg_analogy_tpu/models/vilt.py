@@ -26,6 +26,7 @@ from ..ops.masks import attention_bias
 from .common import (
     AnalogyEncoderLayer,
     MLMTransform,
+    PatchEmbed,
     gather_positions,
     tied_logits,
 )
@@ -66,11 +67,10 @@ class ViltImageEmbeddings(nn.Module):
         x = pixel_values.astype(dtype).reshape(
             b * n_img, 3, cfg.image_size, cfg.image_size
         ).transpose(0, 2, 3, 1)
-        patches = nn.Conv(
-            cfg.text.hidden_size, (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size), dtype=dtype,
+        patches = PatchEmbed(
+            cfg.text.hidden_size, cfg.patch_size, dtype=dtype, use_bias=True,
             name="patch_embedding",
-        )(x).reshape(b * n_img, cfg.patches_per_image, cfg.text.hidden_size)
+        )(x)  # (B*N, patches, H)
         cls = self.param(
             "cls_token", nn.initializers.normal(0.02),
             (1, 1, cfg.text.hidden_size),
