@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 import jax
 
@@ -210,7 +209,11 @@ def main(argv=None):
         train_feats, dev_feats, attach=attach, checkpointer=ckpt,
         init_params_fn=init_params_fn,
     )
-    test_metrics = trainer.evaluate(state.params, test_feats, attach=attach)
+    # test with the best-hits10 checkpoint (main.py:157-159 parity)
+    params = state.params
+    if ckpt.latest_step() is not None:
+        params = ckpt.restore(like=params)
+    test_metrics = trainer.evaluate(params, test_feats, attach=attach)
     logger.log(int(state.step), test_metrics, prefix="test/")
     print(test_metrics)
     return test_metrics

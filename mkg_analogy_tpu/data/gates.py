@@ -15,7 +15,7 @@ images are informative for the relation ->
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

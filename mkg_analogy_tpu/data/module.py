@@ -16,7 +16,7 @@ from typing import Callable, Dict, Optional
 import numpy as np
 
 from .batching import BatchIterator
-from .images import PixelStore, RegionStore, ZeroPixelStore, open_store
+from .images import RegionStore, open_store
 from .prompt import build_finetune_features, build_pretrain_features
 from .readers import MARS, MarKG
 from .vocab import KGVocab, build_tokenizer

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .scorers import analogy_energy, l2_normalize, transe_distance
+from .scorers import analogy_energy, transe_distance
 
 
 @dataclass(frozen=True)

@@ -31,8 +31,8 @@ from flax import linen as nn
 from flax.training import train_state
 import optax
 
-from ..ops.ranking import rank_metrics, ranks_from_scores
-from .scorers import complex_queries, complex_score, split_complex
+from ..ops.ranking import rank_metrics
+from .scorers import complex_queries, split_complex
 
 
 @dataclass(frozen=True)

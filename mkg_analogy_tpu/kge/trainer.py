@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import numpy as np
 import optax
 from flax.training import train_state
 
-from ..ops.ranking import ranks_from_scores
 from .sampling import NegativeSampler
 from .scorers import margin_loss, softplus_loss
 

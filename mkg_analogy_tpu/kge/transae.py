@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .ikrl import IKRLConfig, mix_modal_scores
 from .scorers import transe_distance
 
 

@@ -9,7 +9,6 @@ Zero-copy: numpy batch buffers are passed as raw pointers.
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Dict, Iterator, Optional
 
 import numpy as np

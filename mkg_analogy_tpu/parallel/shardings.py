@@ -17,7 +17,7 @@ replicated. Rules are ordered regex -> PartitionSpec over flattened
 from __future__ import annotations
 
 import re
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
