@@ -77,8 +77,18 @@ def main(argv=None):
     logger = MetricLogger(args.log_dir, name="ikrl")
     markg = MarKG(args.pretrain_path)
     mars = MARS(args.data_dir, markg)
+    test_store = valid_store = None
     if args.in_path:
         store = TripleStore.from_openke_dir(args.in_path)
+        for name in ("test", "valid"):
+            try:
+                s = TripleStore.from_openke_dir(args.in_path, split=name)
+            except FileNotFoundError:
+                continue
+            if name == "test":
+                test_store = s
+            else:
+                valid_store = s
     else:
         store = TripleStore.from_arrays(
             markg.triples_as_ids(), markg.num_entities, markg.num_relations
@@ -148,9 +158,12 @@ def main(argv=None):
             ),
             static_argnames="corrupt",
         )
+        eval_store = test_store if test_store is not None else store
+        filter_stores = [s for s in (store, valid_store, test_store)
+                         if s is not None]
         metrics = link_prediction(
-            candidate_fn, store, build_filters(store), markg.num_entities,
-            task_mode=args.task_mode, seed=args.seed,
+            candidate_fn, eval_store, build_filters(*filter_stores),
+            markg.num_entities, task_mode=args.task_mode, seed=args.seed,
         )
         logger.log(int(state.step), metrics, prefix="link_prediction/")
         print({k: metrics[k] for k in ("mrr", "mr", "hit10", "hit3", "hit1")})
