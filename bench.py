@@ -38,8 +38,8 @@ A100_PYTORCH_EXAMPLES_PER_SEC_EST = 320.0
 
 BATCH_SIZE = 32
 SEQ_LEN = 128
-WARMUP = 3
-STEPS = 20
+WARMUP = 5
+STEPS = 30
 
 
 def main():
