@@ -253,8 +253,10 @@ class RSMETrainer:
     def init_state(self, rng: jax.Array) -> RSMEState:
         cols = 6 if self.finetune else 4
         variables = self.model.init(rng, jnp.zeros((2, cols), jnp.int32))
+        from ..train.optim import torch_adagrad
+
         tx = {
-            "adagrad": optax.adagrad(self.cfg.lr),
+            "adagrad": torch_adagrad(self.cfg.lr),
             "adam": optax.adam(self.cfg.lr, b1=self.cfg.decay1,
                                b2=self.cfg.decay2),
             "sgd": optax.sgd(self.cfg.lr),

@@ -19,6 +19,7 @@ import optax
 from flax.training import train_state
 
 from .sampling import NegativeSampler
+from ..train.optim import torch_adagrad
 from .scorers import margin_loss, softplus_loss
 
 
@@ -58,7 +59,7 @@ class KGETrainer:
         return {
             "sgd": optax.sgd(lr),
             "adam": optax.adam(lr),
-            "adagrad": optax.adagrad(lr),
+            "adagrad": torch_adagrad(lr),
         }[name.lower()]
 
     def init_state(self, rng: jax.Array, finetune: bool = False) -> KGEState:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -68,3 +69,32 @@ def make_optimizer(
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx
+
+
+def torch_adagrad(
+    lr: float, eps: float = 1e-10, initial_accumulator_value: float = 0.0
+) -> optax.GradientTransformation:
+    """torch.optim.Adagrad parity: ``p -= lr * g / (sqrt(acc) + eps)`` with
+    eps OUTSIDE the sqrt and a zero-initialized accumulator.
+
+    optax.adagrad folds eps into the accumulator (rsqrt(acc + eps)), which
+    floors the denominator at sqrt(eps); with the KBC models' 1e-3-scale
+    init the gradients are ~1e-9 and training never leaves the plateau —
+    torch's formulation takes sign-like first steps instead (the behavior
+    the RSME/OpenKE recipes rely on, RSME/run.sh lr 1e-2).
+    """
+
+    def init_fn(params):
+        return jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, initial_accumulator_value), params
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        acc = jax.tree_util.tree_map(lambda g, a: a + g * g, updates, state)
+        scaled = jax.tree_util.tree_map(
+            lambda g, a: -lr * g / (jnp.sqrt(a) + eps), updates, acc
+        )
+        return scaled, acc
+
+    return optax.GradientTransformation(init_fn, update_fn)

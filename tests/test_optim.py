@@ -76,3 +76,16 @@ def test_grad_accumulation_equivalence():
     p_ref = optax.apply_updates(params, up)
     np.testing.assert_allclose(np.asarray(p_after["w"]), np.asarray(p_ref["w"]),
                                rtol=1e-6)
+
+
+def test_torch_adagrad_sign_like_first_step():
+    """torch parity: tiny gradients still produce lr-scale first updates
+    (optax.adagrad floors the denominator at sqrt(eps) and freezes)."""
+    from mkg_analogy_tpu.train.optim import torch_adagrad
+
+    params = {"w": jnp.asarray([1e-3, 1e-3])}
+    g = {"w": jnp.asarray([1e-9, -1e-9])}
+    tx = torch_adagrad(1e-2)
+    s = tx.init(params)
+    u, _ = tx.update(g, s, params)
+    np.testing.assert_allclose(np.asarray(u["w"]), [-1e-2, 1e-2], rtol=1e-3)
