@@ -88,4 +88,9 @@ def test_torch_adagrad_sign_like_first_step():
     tx = torch_adagrad(1e-2)
     s = tx.init(params)
     u, _ = tx.update(g, s, params)
-    np.testing.assert_allclose(np.asarray(u["w"]), [-1e-2, 1e-2], rtol=1e-3)
+    # exact torch formula: -lr * g / (|g| + eps) = -(1/1.1) * lr
+    expect = 1e-2 * (1e-9 / (1e-9 + 1e-10))
+    np.testing.assert_allclose(np.asarray(u["w"]), [-expect, expect], rtol=1e-4)
+    # optax.adagrad with default eps would give ~1e-9-scale updates instead
+    u2, _ = optax.adagrad(1e-2).update(g, optax.adagrad(1e-2).init(params), params)
+    assert np.abs(np.asarray(u2["w"])).max() < 1e-7
