@@ -122,3 +122,65 @@ class ViTClassifier(nn.Module):
         return nn.Dense(cfg.num_classes, dtype=self.dtype, name="head")(
             tokens[:, 0]
         )
+
+
+class _Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         scale_init=nn.initializers.zeros, name="bn3")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(residual)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    dtype=self.dtype,
+                                    name="downsample_bn")(residual)
+        return nn.relu(residual + y)
+
+
+class ResNet50Features(nn.Module):
+    """ResNet50 pooled features (2048-d) — the RSME image-encoder variant
+    (RSME/image_encoder.py Resnet50 branch, R6)."""
+
+    dtype: jnp.dtype = jnp.float32
+    num_classes: int = 0  # 0 -> pooled features, else classifier logits
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray, train: bool = False):
+        x = pixel_values.astype(self.dtype).transpose(0, 2, 3, 1)  # NHWC
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        plan = [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]
+        for si, (feats, blocks, stride) in enumerate(plan):
+            for bi in range(blocks):
+                x = _Bottleneck(feats, strides=stride if bi == 0 else 1,
+                                dtype=self.dtype,
+                                name=f"stage{si}_block{bi}")(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+        if self.num_classes:
+            x = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        return x
