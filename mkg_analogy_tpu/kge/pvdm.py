@@ -35,7 +35,7 @@ class PVDMConfig:
     min_count: int = 2
     epochs: int = 40
     negatives: int = 5
-    lr: float = 0.05
+    lr: float = 0.01
     batch_size: int = 4096
     seed: int = 1
 
@@ -45,8 +45,8 @@ def _build_vocab(docs: Sequence[List[str]], min_count: int) -> Dict[str, int]:
     for d in docs:
         for w in d:
             freq[w] = freq.get(w, 0) + 1
-    vocab = {w: i for i, (w, c) in enumerate(sorted(freq.items())) if c >= min_count}
-    return vocab
+    words = [w for w, c in sorted(freq.items()) if c >= min_count]
+    return {w: i for i, w in enumerate(words)}
 
 
 def _training_windows(docs, vocab, window, rng):
@@ -90,7 +90,8 @@ def train_pvdm(texts: Sequence[str], cfg: PVDMConfig = PVDMConfig()) -> np.ndarr
         "word": jax.random.uniform(k2, (V, H), jnp.float32, -0.5 / H, 0.5 / H),
         "out": jnp.zeros((V, H), jnp.float32),
     }
-    tx = optax.adam(cfg.lr)
+    # clip: the sampled-softmax objective can spike on rare-word batches
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
     opt_state = tx.init(params)
 
     def loss_fn(p, d_ids, ctr, ctx, neg):

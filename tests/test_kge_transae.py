@@ -108,3 +108,15 @@ def test_pretrain_with_kge_trainer():
         state, loss = trainer.pretrain_step(state, dict(dev), jax.random.PRNGKey(5))
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_pvdm_vocab_ids_contiguous():
+    """Regression: ids must be reindexed AFTER min_count filtering (an
+    enumerate-before-filter bug produced out-of-range ids -> NaN training
+    on the real corpus)."""
+    from mkg_analogy_tpu.kge.pvdm import _build_vocab, simple_preprocess
+
+    docs = [simple_preprocess(t) for t in
+            ["aa bb aa cc", "bb dd ee bb", "ff aa bb"]]
+    vocab = _build_vocab(docs, min_count=2)
+    assert sorted(vocab.values()) == list(range(len(vocab)))
