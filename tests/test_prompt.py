@@ -90,3 +90,23 @@ def test_pretrain_features(tiny):
     ).any(axis=1)
     assert rel_tok_present[~is_rel].all()
     assert not rel_tok_present[is_rel].any()
+
+
+def test_batch_iterator_determinism_and_pad_tail(tiny):
+    from mkg_analogy_tpu.data.batching import BatchIterator
+
+    markg, mars, vocab = tiny
+    feats = build_finetune_features(mars, vocab, "dev", max_seq_length=64)
+    it1 = BatchIterator(feats, 4, shuffle=True, seed=3)
+    it2 = BatchIterator(feats, 4, shuffle=True, seed=3)
+    b1, b2 = next(iter(it1)), next(iter(it2))
+    np.testing.assert_array_equal(b1["input_ids"], b2["input_ids"])
+
+    n = len(feats["label"])
+    itp = BatchIterator(feats, 4, shuffle=False, pad_tail=True)
+    batches = list(itp)
+    assert len(batches) == (n + 3) // 4
+    total_valid = sum(int(b["valid"].sum()) for b in batches)
+    assert total_valid == n
+    for b in batches:
+        assert b["input_ids"].shape[0] == 4  # static shape incl. tail

@@ -54,3 +54,16 @@ def test_vocab_file_format(tmp_path):
     tok.save_vocab(str(path))
     tok2 = WordPieceTokenizer.from_vocab_file(str(path))
     assert tok2.vocab == tok.vocab
+
+
+def test_long_word_maps_to_unk():
+    vocab = train_wordpiece_vocab(CORPUS, vocab_size=128)
+    tok = WordPieceTokenizer(vocab, max_chars_per_word=10)
+    assert tok.tokenize("a" * 50) == ["[UNK]"]
+
+
+def test_special_token_ids_fixed():
+    vocab = train_wordpiece_vocab(CORPUS, vocab_size=96)
+    tok = WordPieceTokenizer(vocab)
+    assert tok.pad_id == 0 and tok.unk_id == 1
+    assert tok.cls_id == 2 and tok.sep_id == 3 and tok.mask_id == 4
