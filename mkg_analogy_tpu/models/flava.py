@@ -73,11 +73,17 @@ class FlavaImageEmbeddings(nn.Module):
             H, cfg.patch_size, dtype=dtype, use_bias=True,
             name="patch_embedding",
         )(x).reshape(b, 2 * cfg.patches_per_image, H)
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, H))
+        # NOTE: HF FLAVA zero-inits CLS/positions and immediately loads
+        # pretrained weights; training from scratch with a zero image store
+        # would make the whole image tower exactly zero — every
+        # zero-variance LayerNorm backward then scales gradients by
+        # rsqrt(eps)=1e6 per layer and 12 stacked layers overflow to NaN.
+        # Small random init keeps the variance positive.
+        cls = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, H))
         cls = jnp.broadcast_to(cls.astype(dtype), (b, 1, H))
         tokens = jnp.concatenate([cls, patches], axis=1)
         pos = self.param(
-            "position_embeddings", nn.initializers.zeros,
+            "position_embeddings", nn.initializers.normal(0.02),
             (cfg.patches_per_image + 1, H),
         ).astype(dtype)
         full_pos = jnp.concatenate([pos, pos[1:]], axis=0)
@@ -121,7 +127,7 @@ class FlavaForMaskedLM(nn.Module):
                                     name="text_ln")
         self.image_to_mm = nn.Dense(H, dtype=dtype, name="image_to_mm")
         self.text_to_mm = nn.Dense(H, dtype=dtype, name="text_to_mm")
-        self.mm_cls = self.param("mm_cls_token", nn.initializers.zeros,
+        self.mm_cls = self.param("mm_cls_token", nn.initializers.normal(0.02),
                                  (1, 1, H))
         self.mm_layers = [
             vit_layer(i, "mm") for i in range(cfg.multimodal_layers)

@@ -146,3 +146,28 @@ def test_registry_creates_all():
     for n in names:
         m = create_model(n, vocab_size=256)
         assert hasattr(m, "logits")
+
+
+def test_flava_deep_zero_images_finite_grads():
+    """Regression: 12 pre-LN image layers over an all-zero image tower must
+    not explode (zero-variance LayerNorm backward scales grads by
+    rsqrt(eps) per layer; zero-init CLS/pos made activations exactly zero)."""
+    from mkg_analogy_tpu.models.flava import FlavaConfig, FlavaForMaskedLM
+
+    cfg = FlavaConfig(
+        text=TINY_TEXT, image_size=16, patch_size=8, image_layers=12,
+        multimodal_layers=2, dtype="float32",
+    )
+    model = FlavaForMaskedLM(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch("pixels", (B, 2, 3, 16, 16), rng)
+    batch["pixel_values"] = jnp.zeros_like(batch["pixel_values"])
+    params = model.init(jax.random.PRNGKey(0), **batch, deterministic=True)
+
+    def loss(p):
+        t = model.apply(p, **batch, deterministic=True)
+        return (t ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
