@@ -51,7 +51,12 @@ def make_optimizer(
     max_grad_norm: Optional[float] = None,
     params_example: Any = None,
 ) -> optax.GradientTransformation:
-    schedule = linear_warmup_linear_decay(lr, total_steps, warmup_ratio)
+    # MultiSteps advances the inner optimizer (and thus the schedule) once
+    # per k micro-batches — the schedule horizon is optimizer steps, like the
+    # reference's num_training_steps // accumulate_grad_batches (base.py:90).
+    schedule = linear_warmup_linear_decay(
+        lr, max(1, total_steps // max(1, grad_accum_steps)), warmup_ratio
+    )
     chain = []
     if max_grad_norm:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
