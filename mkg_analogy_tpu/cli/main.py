@@ -162,6 +162,8 @@ def main(argv=None):
         seed=args.seed,
         check_val_every_n_epoch=args.check_val_every_n_epoch,
         profile_dir=os.path.join(args.log_dir, "profile") if args.profile else None,
+        limit_train_batches=int(args.limit_train_batches)
+        if args.limit_train_batches else None,
     )
     logger = MetricLogger(args.log_dir)
     trainer = MarTTrainer(model, data.vocab, cfg, mesh=mesh, logger=logger)

@@ -39,3 +39,10 @@ def rank_metrics(ranks: jnp.ndarray, ks=(1, 3, 5, 10, 20)) -> Dict[str, jnp.ndar
     out["mean_rank"] = jnp.mean(r)
     out["mrr"] = jnp.mean(1.0 / r)
     return out
+
+
+def rank_score(ranks):
+    """(hits10, hits5, hits1, mrr) tuple — lit_models/utils.py:4 parity."""
+    m = rank_metrics(jnp.asarray(ranks), ks=(1, 5, 10))
+    return (float(m["hits10"]), float(m["hits5"]), float(m["hits1"]),
+            float(m["mrr"]))

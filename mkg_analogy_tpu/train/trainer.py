@@ -59,6 +59,7 @@ class TrainConfig:
     log_every: int = 50
     max_grad_norm: Optional[float] = None
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 5..10
+    limit_train_batches: Optional[int] = None  # pl.Trainer parity
 
 
 class TrainState(train_state.TrainState):
@@ -354,6 +355,8 @@ class MarTTrainer:
             attach=attach,
         )
         steps_per_epoch = len(train_it)
+        if cfg.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
         total_steps = steps_per_epoch * cfg.max_epochs
         rng = jax.random.PRNGKey(cfg.seed)
         init_rng, step_rng = jax.random.split(rng)
@@ -374,7 +377,11 @@ class MarTTrainer:
             for epoch in range(cfg.max_epochs):
                 t_epoch = time.time()
                 n_examples = 0
+                epoch_steps = 0
                 for batch in train_it:
+                    if cfg.limit_train_batches and epoch_steps >= cfg.limit_train_batches:
+                        break
+                    epoch_steps += 1
                     if global_step == 0 and hasattr(self.vocab, "decode"):
                         # decoded-sample print at batch 0 (transformer.py:111)
                         for row in batch["input_ids"][:2]:
