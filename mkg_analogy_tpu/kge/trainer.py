@@ -97,7 +97,12 @@ class KGETrainer:
         if self.cfg.loss == "margin":
             loss = margin_loss(p, n, self.cfg.margin)
         else:
-            loss = softplus_loss(p, n)
+            # Energies are lower-is-better; softplus logistic loss wants
+            # higher-is-better scores, so negate. (The reference feeds raw
+            # ANALOGY energies to SoftplusLoss, IKRL.py:1030-1040 — which
+            # pushes positive energies UP, inverted w.r.t. its own
+            # smaller-is-better evaluator.)
+            loss = softplus_loss(-p, -n)
         if self.cfg.regul_rate and hasattr(self.model, "regularization"):
             reg = self.model.apply(
                 {"params": params, "frozen": frozen},

@@ -140,3 +140,27 @@ def test_best_threshold():
     thr, acc = best_threshold(scores, labels)
     # perfectly separable: accuracy 1.0 at threshold between 0.2 and 0.8
     assert acc == 1.0
+
+
+def test_softplus_training_lowers_positive_energy(store):
+    """After training with the softplus loss, positive triples must have
+    LOWER energy than negatives (regression for the sign convention —
+    the reference trains ANALOGY inverted w.r.t. its evaluator)."""
+    cfg = IKRLConfig(N_ENT, N_REL, dim=16, scorer="analogy", visual_dim=32)
+    model = create_ikrl(cfg)
+    tcfg = KGETrainConfig(train_times=1, lr=0.1, loss="softplus",
+                          optimizer="adam", regul_rate=0.0)
+    trainer = KGETrainer(model, tcfg, batch_size=20, neg_total=5)
+    sampler = NegativeSampler(store, batch_size=20, neg_ent=5, neg_rel=0, seed=2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = next(iter(sampler))
+    dev = {k: jnp.asarray(batch[k]) for k in ("batch_h", "batch_t", "batch_r")}
+    for _ in range(60):
+        state, _ = trainer.pretrain_step(state, dict(dev), jax.random.PRNGKey(3))
+    variables = {"params": state.params, "frozen": state.frozen}
+    tm = jnp.zeros((dev["batch_h"].shape[0],), jnp.int32)
+    e = np.asarray(model.apply(variables, dev["batch_h"], dev["batch_t"],
+                               dev["batch_r"], tm))
+    pos = e[:20].mean()
+    neg = e[20:].mean()
+    assert pos < neg, (pos, neg)
