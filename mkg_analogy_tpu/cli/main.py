@@ -162,8 +162,10 @@ def main(argv=None):
         seed=args.seed,
         check_val_every_n_epoch=args.check_val_every_n_epoch,
         profile_dir=os.path.join(args.log_dir, "profile") if args.profile else None,
-        limit_train_batches=int(args.limit_train_batches)
-        if args.limit_train_batches else None,
+        # pl.Trainer semantics: a fraction <= 1.0 limits to that share of
+        # the train batches; an integer limits to that many batches
+        # (lit_models/base.py:79-82) — resolved in MarTTrainer.fit
+        limit_train_batches=args.limit_train_batches or None,
     )
     logger = MetricLogger(args.log_dir)
     trainer = MarTTrainer(model, data.vocab, cfg, mesh=mesh, logger=logger)

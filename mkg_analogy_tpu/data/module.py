@@ -73,10 +73,30 @@ class KGCDataModule:
         )
 
     # ------------------------------------------------------------- features
+    def _corpus_fingerprint(self) -> str:
+        """Cheap content hash over the source text files so edited datasets
+        (and, for pretrain, a different --seed driving the modality draws)
+        never silently reuse stale cached features."""
+        h = hashlib.sha256()
+        for root in (self.markg.root, getattr(self.mars, "root", None)):
+            if not root or not os.path.isdir(root):
+                continue
+            for name in sorted(os.listdir(root)):
+                p = os.path.join(root, name)
+                if os.path.isfile(p):
+                    st = os.stat(p)
+                    h.update(f"{name}:{st.st_size}:{int(st.st_mtime)}".encode())
+        return h.hexdigest()[:10]
+
     def _cache_path(self, split: str) -> Optional[str]:
         if not self.cache_dir:
             return None
-        key = f"{split}_pre{int(self.pretrain)}_L{self.max_seq_length}_V{self.vocab.base_size}"
+        key = (
+            f"{split}_pre{int(self.pretrain)}_L{self.max_seq_length}"
+            f"_V{self.vocab.base_size}_C{self._corpus_fingerprint()}"
+        )
+        if self.pretrain:
+            key += f"_S{self.seed}"  # seed drives pretrain modality draws
         h = hashlib.sha256(key.encode()).hexdigest()[:12]
         return os.path.join(self.cache_dir, f"features_{key}_{h}.npz")
 

@@ -46,6 +46,11 @@ class RSMEConfig:
     beta: float = 0.5  # structural/image blend (config.py:2)
     forget_gate: bool = True
     model: str = "complex"  # "complex" | "analogy" | "cp"
+    # opt-in reference quirk: during filtered ranking, score the GOLD
+    # through score() whose mode-1 branch skips the beta blend applied to
+    # every candidate (models.py:252-266 vs :69-78) — inflating mode-1
+    # gold scores; default scores gold and candidates identically
+    compat_ref_mode1_gold: bool = False
 
     @property
     def n_pred(self) -> int:
@@ -120,15 +125,23 @@ class RSMEModel(nn.Module):
         return jnp.sum(l * r, axis=-1)  # (B,)
 
     def _gate(self, s_str, s_img, rel_ids, mode):
-        """Forget-gate blend (models.py:69-78)."""
+        """Forget-gate blend (models.py:69-81).
+
+        With the gate ON the reference splits by mode (mode 0 pure
+        structure, mode 1 beta*structure, mode 2 adds the pd-gated image
+        cosine, models.py:71-78); with the gate OFF it blends
+        beta*s_str + (1-beta)*s_img uniformly for ALL modes
+        (models.py:80-81 else-branch) — no mode split, no rel_pd.
+        """
         cfg = self.cfg
+        b = cfg.beta
+        if not cfg.forget_gate:
+            return b * s_str + (1.0 - b) * s_img
         pd = jnp.take(self.pd_table.value, rel_ids, axis=0)
         if s_str.ndim == 2:  # (B, E) candidate matrices
             pd = pd[:, None]
             mode = mode[:, None]
-        if cfg.forget_gate:
-            s_img = s_img * pd
-        b = cfg.beta
+        s_img = s_img * pd
         return jnp.where(
             mode == 0,
             s_str,
@@ -210,6 +223,32 @@ class RSMEModel(nn.Module):
             ).T
         s_img = self._img_cosine(lhs_ids)  # (B, E)
         return self._gate(s_str, s_img, rel_ids, mode)
+
+    def gold_scores(self, queries: jnp.ndarray):
+        """Reference score() semantics for the gold triple
+        (models.py:245-266): mode 0/1 -> pure structural score, mode 2 ->
+        beta*s_str + (1-beta)*cos(lhs_img, rhs_img)[*pd]. Used only under
+        ``compat_ref_mode1_gold`` (the corrected default takes the gold's
+        score from the same gated candidate row instead)."""
+        cfg = self.cfg
+        img_emb = self._img_embeddings()
+        lhs_ids, rel_ids, rhs_ids, mode = (
+            queries[:, 0], queries[:, 1], queries[:, 2], queries[:, 3]
+        )
+        lhs = self._fused(self.ent, img_emb, lhs_ids, mode >= 1)
+        rhs = self._fused(self.ent, img_emb, rhs_ids, mode == 2)
+        rel = jnp.take(self.rel, rel_ids, axis=0)
+        s_str = jnp.sum(complex_queries(lhs, rel, cfg.rank) * rhs, axis=-1)
+        if cfg.model == "analogy":
+            lhs_d = self._fused(self.ent_d, img_emb, lhs_ids, mode >= 1)
+            rhs_d = self._fused(self.ent_d, img_emb, rhs_ids, mode == 2)
+            rel_d = jnp.take(self.rel_d, rel_ids, axis=0)
+            s_str = s_str + jnp.sum(lhs_d * rel_d * rhs_d, axis=-1)
+        s_img = self._img_cosine(lhs_ids, rhs_ids)  # (B,)
+        if cfg.forget_gate:
+            s_img = s_img * jnp.take(self.pd_table.value, rel_ids, axis=0)
+        b = cfg.beta
+        return jnp.where(mode == 2, b * s_str + (1.0 - b) * s_img, s_str)
 
 
 # ---------------------------------------------------------------- training
@@ -345,11 +384,21 @@ def filtered_eval(
     scores_fn = jax.jit(
         lambda v, q: model.apply(v, q, method=type(model).ranking_scores)
     )
+    gold_fn = jax.jit(
+        lambda v, q: model.apply(v, q, method=type(model).gold_scores)
+    )
     for b in range(0, len(queries), batch_size):
         rows = queries[b : b + batch_size]
         scores = np.array(scores_fn(variables, jnp.asarray(rows, jnp.int32)),
                           np.float32, copy=True)
-        target = scores[np.arange(len(rows)), rows[:, 2]]
+        if model.cfg.compat_ref_mode1_gold:
+            # reference quirk: gold scored through score(), candidates
+            # through the gated blend (models.py:81-82 targets)
+            target = np.asarray(
+                gold_fn(variables, jnp.asarray(rows, jnp.int32)), np.float32
+            )
+        else:
+            target = scores[np.arange(len(rows)), rows[:, 2]]
         for i, row in enumerate(rows):
             skip = to_skip.get((int(row[0]), int(row[1])))
             if skip:

@@ -29,6 +29,10 @@ class KGETrainConfig:
     lr: float = 1.0  # reference: SGD alpha=1.0 pretrain, Adam 1e-4 finetune
     optimizer: str = "sgd"
     loss: str = "margin"  # "margin" | "softplus"
+    # opt-in reference quirk: feed RAW energies to the softplus logistic
+    # loss like IKRL.py:1030-1040 does (inverted w.r.t. its own
+    # smaller-is-better evaluator) instead of the corrected negation
+    compat_ref_softplus_sign: bool = False
     margin: float = 5.0
     regul_rate: float = 0.0
     finetune_lr: float = 1e-4
@@ -101,8 +105,11 @@ class KGETrainer:
             # higher-is-better scores, so negate. (The reference feeds raw
             # ANALOGY energies to SoftplusLoss, IKRL.py:1030-1040 — which
             # pushes positive energies UP, inverted w.r.t. its own
-            # smaller-is-better evaluator.)
-            loss = softplus_loss(-p, -n)
+            # smaller-is-better evaluator; compat flag reproduces that.)
+            if self.cfg.compat_ref_softplus_sign:
+                loss = softplus_loss(p, n)
+            else:
+                loss = softplus_loss(-p, -n)
         if self.cfg.regul_rate and hasattr(self.model, "regularization"):
             reg = self.model.apply(
                 {"params": params, "frozen": frozen},

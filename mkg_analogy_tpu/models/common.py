@@ -186,7 +186,13 @@ class EncoderLayer(nn.Module):
 
 
 class AnalogyEncoderLayer(nn.Module):
-    """EncoderLayer + per-layer adaptive analogy mask over the text block."""
+    """EncoderLayer + per-layer adaptive analogy mask over the text block.
+
+    ``row_start`` follows the reference's per-family slice start (0 for
+    UniMo-style, 1 for ViLBERT/FLAVA which skip the CLS row).
+    ``compat_img_offset`` (a static image length) opts into the reference's
+    shifted mask geometry for single-stream models — see ops/masks.py.
+    """
 
     hidden_size: int
     num_heads: int
@@ -197,6 +203,8 @@ class AnalogyEncoderLayer(nn.Module):
     pre_norm: bool = False
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
+    row_start: int = 0
+    compat_img_offset: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, attn_bias=None, boundary=None, text_len=None,
@@ -206,8 +214,12 @@ class AnalogyEncoderLayer(nn.Module):
         mult = None
         w0, w1 = adaptive_weights(self)
         if boundary is not None:
+            if self.compat_img_offset is not None:
+                text_len = None
             mult = analogy_score_multiplier(
-                boundary, x.shape[1], w0, w1, text_len=text_len
+                boundary, x.shape[1], w0, w1, text_len=text_len,
+                row_start=self.row_start,
+                compat_img_offset=self.compat_img_offset,
             )
         return EncoderLayer(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
@@ -237,19 +249,25 @@ def tied_logits(word_embeddings, mlm_bias, trans_hidden, compute_dtype,
     return out + bias.astype(jnp.float32)
 
 
-class PatchEmbed(nn.Module):
-    """Non-overlapping patch embedding as reshape + one MXU matmul.
+# Patch-embedding lowering: "reshape" (explicit patchify + one matmul) or
+# "conv" (lax.conv_general_dilated, stride == kernel). Same parameters and
+# numerics either way — this only picks the XLA lowering. Overridable for
+# profiling via tools/bench_opts.py.
+PATCH_EMBED_IMPL = "reshape"
 
-    stride == kernel_size makes the convolution a pure linear map per patch;
-    XLA's conv path costs ~10% of the UniMo train step, the matmul form is
-    ~free. The parameter keeps the Conv kernel layout (P, P, C, H) so torch
-    checkpoint conversion is unchanged.
+
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding (one linear map per patch).
+
+    The parameter keeps the Conv kernel layout (P, P, C, H) so torch
+    checkpoint conversion is unchanged regardless of the lowering.
     """
 
     hidden_size: int
     patch_size: int
     dtype: jnp.dtype = jnp.float32
     use_bias: bool = False
+    impl: Optional[str] = None  # None -> module default PATCH_EMBED_IMPL
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -261,11 +279,19 @@ class PatchEmbed(nn.Module):
             nn.initializers.lecun_normal(),
             (p, p, c, self.hidden_size),
         )
-        gh, gw = h // p, w // p
-        x = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(n, gh * gw, p * p * c)
-        kflat = kernel.reshape(p * p * c, self.hidden_size).astype(self.dtype)
-        out = jnp.einsum("npk,kh->nph", x.astype(self.dtype), kflat)
+        impl = self.impl or PATCH_EMBED_IMPL
+        if impl == "conv":
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(p, p), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(n, (h // p) * (w // p), self.hidden_size)
+        else:
+            gh, gw = h // p, w // p
+            xr = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+            xr = xr.reshape(n, gh * gw, p * p * c)
+            kflat = kernel.reshape(p * p * c, self.hidden_size).astype(self.dtype)
+            out = jnp.einsum("npk,kh->nph", xr.astype(self.dtype), kflat)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.hidden_size,))

@@ -2,14 +2,20 @@
 
 TPU-native re-design of MarT/models/modeling_flava.py (M9):
 
-- image tower (ViT-B/16 pre-LN) embeds BOTH images: the head image keeps
-  CLS + positions, the tail image contributes patch tokens with positions
-  only -> 2*196 + 1 = 393 tokens (modeling_flava.py:310-344);
-- text tower applies the adaptive analogy mask inside its attention
-  (modeling_flava.py:461, 491-496);
-- the multimodal tower runs over [mm-CLS ; proj(image states) ; proj(text
-  states)] and the MLM head reads the text slice of its output
-  (modeling_flava.py:1452-1457, 2127-2204).
+- image tower (ViT-B/16 pre-LN) embeds BOTH images: [CLS ; patches(head)]
+  gets position rows 0..P, patches(tail) get position rows 0..P-1 (the
+  reference reuses the table head *including* the CLS row,
+  modeling_flava.py:336-343) -> 2*196 + 1 = 393 tokens;
+- text tower applies the adaptive analogy mask inside its attention with
+  rows starting at 1 (modeling_flava.py:491-496);
+- the multimodal tower consumes the towers' *pre-final-layernorm* states
+  ("Note that these states don't use final layernorm",
+  modeling_flava.py:1429-1450), runs UNMASKED (the reference passes no
+  attention mask to the multimodal model, modeling_flava.py:1456), prepends
+  its own CLS, and the MLM head reads the text slice of its post-layernorm
+  output (modeling_flava.py:1452-1457, 2127-2204). The towers' final
+  layernorms and poolers are dead parameters in the MaskedLM path and are
+  not instantiated here.
 """
 
 from __future__ import annotations
@@ -61,7 +67,7 @@ class FlavaImageEmbeddings(nn.Module):
     cfg: FlavaConfig
 
     @nn.compact
-    def __call__(self, pixel_values):
+    def __call__(self, pixel_values, deterministic=True):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         H = cfg.text.hidden_size
@@ -86,8 +92,13 @@ class FlavaImageEmbeddings(nn.Module):
             "position_embeddings", nn.initializers.normal(0.02),
             (cfg.patches_per_image + 1, H),
         ).astype(dtype)
-        full_pos = jnp.concatenate([pos, pos[1:]], axis=0)
-        return tokens + full_pos[None]
+        # tail patches reuse table rows 0..P-1 (including the CLS row 0 —
+        # modeling_flava.py:336-343: position_embeddings[:, :tail.shape[1]])
+        full_pos = jnp.concatenate([pos, pos[: cfg.patches_per_image]], axis=0)
+        tokens = tokens + full_pos[None]
+        return nn.Dropout(cfg.text.hidden_dropout)(
+            tokens, deterministic=deterministic
+        )
 
 
 class FlavaForMaskedLM(nn.Module):
@@ -109,7 +120,9 @@ class FlavaForMaskedLM(nn.Module):
 
         def vit_layer(i, name, analogy=False):
             klass = AnalogyEncoderLayer if analogy else EncoderLayer
+            extra = {"row_start": 1} if analogy else {}  # flava:493 rows 1:idx2
             return klass(
+                **extra,
                 hidden_size=H, num_heads=t.num_heads,
                 intermediate_size=t.intermediate_size, hidden_act="gelu",
                 layer_norm_eps=cfg.layer_norm_eps, dtype=dtype, pre_norm=True,
@@ -118,13 +131,9 @@ class FlavaForMaskedLM(nn.Module):
             )
 
         self.image_layers = [vit_layer(i, "image") for i in range(cfg.image_layers)]
-        self.image_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
-                                     name="image_ln")
         self.text_layers = [
             vit_layer(i, "text", analogy=True) for i in range(t.num_layers)
         ]
-        self.text_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
-                                    name="text_ln")
         self.image_to_mm = nn.Dense(H, dtype=dtype, name="image_to_mm")
         self.text_to_mm = nn.Dense(H, dtype=dtype, name="text_to_mm")
         self.mm_cls = self.param("mm_cls_token", nn.initializers.normal(0.02),
@@ -152,10 +161,9 @@ class FlavaForMaskedLM(nn.Module):
         dtype = cfg.compute_dtype
         b, L = input_ids.shape
 
-        img = self.image_embeddings(pixel_values)
+        img = self.image_embeddings(pixel_values, deterministic=deterministic)
         for layer in self.image_layers:
             img = layer(img, deterministic=deterministic)
-        img = self.image_ln(img)
 
         txt = self.text_embeddings(
             input_ids, token_type_ids, self.word_embeddings, deterministic
@@ -164,8 +172,10 @@ class FlavaForMaskedLM(nn.Module):
         for layer in self.text_layers:
             txt = layer(txt, attn_bias=txt_bias, boundary=boundary,
                         deterministic=deterministic)
-        txt = self.text_ln(txt)
 
+        # the multimodal tower consumes the PRE-final-layernorm states
+        # (modeling_flava.py:1429-1450) and runs without an attention mask
+        # (modeling_flava.py:1456) — reference-exact.
         mm_img = self.image_to_mm(img)
         mm_txt = self.text_to_mm(txt)
         cls = jnp.broadcast_to(
@@ -173,13 +183,8 @@ class FlavaForMaskedLM(nn.Module):
         )
         mm = jnp.concatenate([cls, mm_img, mm_txt], axis=1)
         n_prefix = 1 + img.shape[1]
-        mm_mask = jnp.concatenate(
-            [jnp.ones((b, n_prefix), attention_mask.dtype), attention_mask],
-            axis=1,
-        )
-        mm_bias = attention_bias(mm_mask)
         for layer in self.mm_layers:
-            mm = layer(mm, attn_bias=mm_bias, deterministic=deterministic)
+            mm = layer(mm, deterministic=deterministic)
         mm = self.mm_ln(mm)
 
         text_seq = mm[:, n_prefix:]  # MLM over the text slice (flava:2127-2204)

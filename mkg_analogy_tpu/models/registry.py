@@ -90,8 +90,20 @@ def _flava(vocab_size: int, dtype: str = "bfloat16", **kw):
 
 @register("VilBertKGC")
 def _vilbert(vocab_size: int, dtype: str = "bfloat16", **kw):
+    text = _text_cfg(vocab_size, kw)
+    # scale the rendezvous schedule to a reduced depth (tiny/test configs):
+    # the default 6-connection schedule indexes text layers 6..11
+    # (vilbert.py config bert_base_6layer_6conect)
+    n_conn = min(6, text.num_layers // 2, max(1, text.num_layers - 1))
+    v_num_layers = max(n_conn, 6 if text.num_layers >= 12 else n_conn)
+    t_start = text.num_layers - n_conn
     return VilBertForMaskedLM(
-        VilBertConfig(text=_text_cfg(vocab_size, kw), dtype=dtype)
+        VilBertConfig(
+            text=text, dtype=dtype,
+            v_num_layers=v_num_layers,
+            v_biattention_id=tuple(range(n_conn)),
+            t_biattention_id=tuple(range(t_start, text.num_layers)),
+        )
     )
 
 

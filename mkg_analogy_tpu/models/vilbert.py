@@ -158,6 +158,7 @@ class VilBertForMaskedLM(nn.Module):
                 layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
                 hidden_dropout=t.hidden_dropout,
                 attention_dropout=t.attention_dropout, name=f"t_layer_{i}",
+                row_start=1,  # vilbert.py:452 scales rows 1:idx2
             )
             for i in range(t.num_layers)
         ]

@@ -12,7 +12,10 @@ TPU-native re-design of MarT/models/modeling_vilt.py (M8):
   per image — static shapes, no sampling;
 - adaptive analogy mask on text->text attention in true text coordinates
   (the reference shifts sep_idx by the image length although images FOLLOW
-  the text, modeling_vilt.py:843-844 + 370-375 — see ops/masks).
+  the text, modeling_vilt.py:843-844 + 370-375 — see ops/masks); set
+  ``compat_ref_mask_offset=True`` to reproduce the reference geometry;
+- embedding dropout on the image tokens after position add
+  (modeling_vilt.py:189-192).
 """
 
 from __future__ import annotations
@@ -41,6 +44,9 @@ class ViltConfig:
     num_images: int = 2
     layer_norm_eps: float = 1e-12
     dtype: str = "bfloat16"
+    # opt-in reference quirk: apply the adaptive mask with sep_idx shifted
+    # by the image length (modeling_vilt.py:843-844)
+    compat_ref_mask_offset: bool = False
 
     @property
     def compute_dtype(self):
@@ -59,7 +65,7 @@ class ViltImageEmbeddings(nn.Module):
     cfg: ViltConfig
 
     @nn.compact
-    def __call__(self, pixel_values):
+    def __call__(self, pixel_values, deterministic=True):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         b = pixel_values.shape[0]
@@ -82,6 +88,10 @@ class ViltImageEmbeddings(nn.Module):
             (cfg.tokens_per_image, cfg.text.hidden_size),
         )
         tokens = tokens + pos[None].astype(dtype)
+        # embedding dropout on the image path (modeling_vilt.py:189-192)
+        tokens = nn.Dropout(cfg.text.hidden_dropout)(
+            tokens, deterministic=deterministic
+        )
         return tokens.reshape(b, n_img * cfg.tokens_per_image,
                               cfg.text.hidden_size)
 
@@ -113,6 +123,13 @@ class ViltForMaskedLM(nn.Module):
                 layer_norm_eps=cfg.layer_norm_eps, dtype=dtype, pre_norm=True,
                 hidden_dropout=t.hidden_dropout,
                 attention_dropout=t.attention_dropout, name=f"layer_{i}",
+                # corrected default: text coordinates, rows from 1 (the
+                # reference's img_length+1 slice start, modeling_vilt.py:371)
+                row_start=1,
+                compat_img_offset=(
+                    cfg.num_images * cfg.tokens_per_image
+                    if cfg.compat_ref_mask_offset else None
+                ),
             )
             for i in range(t.num_layers)
         ]
@@ -140,7 +157,8 @@ class ViltForMaskedLM(nn.Module):
             input_ids, token_type_ids, self.word_embeddings, deterministic
         )
         txt = txt + self.modal_type[0].astype(dtype)
-        img = self.image_embeddings(pixel_values)
+        img = self.image_embeddings(pixel_values,
+                                    deterministic=deterministic)
         img = img + self.modal_type[1].astype(dtype)
         x = jnp.concatenate([txt, img], axis=1)
         img_mask = jnp.ones(img.shape[:2], attention_mask.dtype)

@@ -350,6 +350,82 @@ void importTypeFiles() {
   g_has_types = true;
 }
 
+// ------------------------------------------------------- worker pool
+// Persistent pool with condition-variable dispatch: threads are spawned
+// once (lazily, resized when setWorkThreads changes) and parked between
+// `sampling` calls — no per-batch thread spawn/join at thousands of calls
+// per epoch.
+struct SamplerPool {
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  std::vector<std::thread> workers;
+  SampleJob job{};
+  uint64_t generation = 0;  // bumped per dispatched job
+  INT active = 0;           // workers participating in the current job
+  INT remaining = 0;        // workers not yet finished with it
+  INT chunk = 0;
+  bool shutdown = false;
+
+  void worker_main(INT w) {
+    uint64_t seen = 0;
+    for (;;) {
+      SampleJob j;
+      INT lo, hi;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return shutdown || generation != seen; });
+        if (shutdown) return;
+        seen = generation;
+        if (w >= active) continue;  // not needed for this (small) batch
+        j = job;
+        lo = w * chunk;
+        hi = std::min(j.batch, lo + chunk);
+      }
+      if (lo < hi) sample_range(j, lo, hi, g_rngs[(size_t)w]);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (--remaining == 0) cv_done.notify_one();
+      }
+    }
+  }
+
+  void resize(INT n) {  // callers hold no lock; only main thread resizes
+    if ((INT)workers.size() == n) return;
+    stop();
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      shutdown = false;
+    }
+    for (INT w = 0; w < n; w++)
+      workers.emplace_back([this, w] { worker_main(w); });
+  }
+
+  void stop() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      shutdown = true;
+    }
+    cv_work.notify_all();
+    for (auto &t : workers) t.join();
+    workers.clear();
+  }
+
+  void run(const SampleJob &j, INT nthreads) {
+    std::unique_lock<std::mutex> lk(mu);
+    job = j;
+    active = nthreads;
+    remaining = nthreads;
+    chunk = (j.batch + nthreads - 1) / nthreads;
+    generation++;
+    cv_work.notify_all();
+    cv_done.wait(lk, [&] { return remaining == 0; });
+  }
+
+  ~SamplerPool() { stop(); }
+};
+
+SamplerPool g_pool;
+
 // ------------------------------------------------------------- sampling
 void sampling(INT *batch_h, INT *batch_t, INT *batch_r, REAL *batch_y,
               INT batchSize, INT negEnt, INT negRel, INT mode, INT filter,
@@ -362,14 +438,9 @@ void sampling(INT *batch_h, INT *batch_t, INT *batch_r, REAL *batch_y,
     sample_range(job, 0, batchSize, g_rngs[0]);
     return;
   }
-  std::vector<std::thread> pool;
-  INT chunk = (batchSize + nthreads - 1) / nthreads;
-  for (INT w = 0; w < nthreads; w++) {
-    INT lo = w * chunk, hi = std::min(batchSize, lo + chunk);
-    if (lo >= hi) break;
-    pool.emplace_back([&, lo, hi, w] { sample_range(job, lo, hi, g_rngs[w]); });
-  }
-  for (auto &th : pool) th.join();
+  g_pool.resize(g_threads);
+  // remaining counts only workers w < active; idle workers skip the job
+  g_pool.run(job, nthreads);
 }
 
 // ------------------------------------------------- link prediction eval

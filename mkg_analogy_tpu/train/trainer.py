@@ -59,7 +59,7 @@ class TrainConfig:
     log_every: int = 50
     max_grad_norm: Optional[float] = None
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 5..10
-    limit_train_batches: Optional[int] = None  # pl.Trainer parity
+    limit_train_batches: Optional[float] = None  # pl parity: fraction <=1 or count
 
 
 class TrainState(train_state.TrainState):
@@ -295,6 +295,34 @@ class MarTTrainer:
             self._jitted[name] = jax.jit(fn, donate_argnums=donate)
         return self._jitted[name]
 
+    def _prefetch(self, iterable, transform, lookahead: int = 2):
+        """Assemble + H2D-transfer batches ``lookahead`` steps ahead on a
+        worker thread, overlapping input with device compute (the train
+        step dispatch is async; this moves the host-side numpy assembly
+        and the tunnel transfer off the critical path)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=lookahead)
+
+        def worker():
+            try:
+                for b in iterable:
+                    q.put(("item", transform(b)))
+                q.put(("end", None))
+            except BaseException as e:  # surface worker errors in the loop
+                q.put(("err", e))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            kind, payload = q.get()
+            if kind == "end":
+                break
+            if kind == "err":
+                raise payload
+            yield payload
+
     def _put_batch(self, batch: Dict[str, np.ndarray]):
         # Halve H2D bytes: float inputs (pixels) go over the wire as
         # bfloat16 — the model computes in bf16 anyway.
@@ -318,11 +346,11 @@ class MarTTrainer:
         step = self._get_jitted("eval", self._eval_step)
         all_ranks, all_is_rel = [], []
         with self.mesh:
-            for batch in it:
+            for dbatch in self._prefetch(it, self._put_batch):
                 if self.image_table is not None:
-                    out = step(params, self._put_batch(batch), self.image_table)
+                    out = step(params, dbatch, self.image_table)
                 else:
-                    out = step(params, self._put_batch(batch))
+                    out = step(params, dbatch)
                 out = jax.device_get(out)
                 m = out["valid"]
                 all_ranks.append(out["ranks"][m])
@@ -355,8 +383,13 @@ class MarTTrainer:
             attach=attach,
         )
         steps_per_epoch = len(train_it)
-        if cfg.limit_train_batches:
-            steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
+        limit_batches = cfg.limit_train_batches
+        if limit_batches and limit_batches <= 1.0:
+            # fractional limit (pl.Trainer accepts fractions, base.py:79-82)
+            limit_batches = max(1, int(steps_per_epoch * limit_batches))
+        limit_batches = int(limit_batches) if limit_batches else None
+        if limit_batches:
+            steps_per_epoch = min(steps_per_epoch, limit_batches)
         total_steps = steps_per_epoch * cfg.max_epochs
         rng = jax.random.PRNGKey(cfg.seed)
         init_rng, step_rng = jax.random.split(rng)
@@ -373,23 +406,30 @@ class MarTTrainer:
         from ..utils.profiling import StepTimer
 
         timer = StepTimer()
+
+        def stage(batch):
+            # host-side assembly + async H2D shipping, run one step ahead
+            # on the prefetch worker (keeps the tunnel transfer off the
+            # critical path)
+            ids_preview = batch["input_ids"][:2]
+            batch = {k: v for k, v in batch.items() if k != "valid"}
+            return ids_preview, self._put_batch(batch)
+
         with self.mesh:
             for epoch in range(cfg.max_epochs):
                 t_epoch = time.time()
                 n_examples = 0
                 epoch_steps = 0
-                for batch in train_it:
-                    if cfg.limit_train_batches and epoch_steps >= cfg.limit_train_batches:
+                for ids_preview, dbatch in self._prefetch(train_it, stage):
+                    if limit_batches and epoch_steps >= limit_batches:
                         break
                     epoch_steps += 1
                     if global_step == 0 and hasattr(self.vocab, "decode"):
                         # decoded-sample print at batch 0 (transformer.py:111)
-                        for row in batch["input_ids"][:2]:
+                        for row in ids_preview:
                             print(self.vocab.decode(row[row != 0][:48]))
                     if cfg.profile_dir and global_step == 5:
                         jax.profiler.start_trace(cfg.profile_dir)
-                    batch.pop("valid", None)
-                    dbatch = self._put_batch(batch)
                     timer.start()
                     if self.image_table is not None:
                         state, metrics = train_step(state, dbatch, step_rng,
@@ -399,6 +439,12 @@ class MarTTrainer:
                     timer.stop()
                     global_step += 1
                     n_examples += cfg.batch_size
+                    if global_step == 1:
+                        # exclude the first-step compile from the epoch-0
+                        # wall-clock throughput accounting
+                        jax.block_until_ready(metrics["loss"])
+                        t_epoch = time.time()
+                        n_examples = 0
                     if cfg.profile_dir and global_step == 10:
                         jax.block_until_ready(metrics["loss"])
                         jax.profiler.stop_trace()
@@ -407,7 +453,8 @@ class MarTTrainer:
                                 jax.device_get(metrics).items()}
                         self.logger.log(global_step, host, prefix="train/")
                 dt = time.time() - t_epoch
-                epoch_stats = {"epoch": epoch, "examples_per_sec": n_examples / dt}
+                epoch_stats = {"epoch": epoch,
+                               "examples_per_sec": n_examples / max(dt, 1e-9)}
                 epoch_stats.update(timer.stats())
                 self.logger.log(global_step, epoch_stats, prefix="train/")
                 if (epoch + 1) % cfg.check_val_every_n_epoch == 0:

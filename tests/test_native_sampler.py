@@ -167,3 +167,24 @@ def test_classification_batch(kg_dir):
     for i in range(len(test)):
         assert (int(pos[0][i]), int(pos[1][i]), int(pos[2][i])) in test_set
         assert (int(neg[0][i]), int(neg[1][i]), int(neg[2][i])) not in key
+
+
+def test_persistent_pool_resize_and_reuse(kg_dir):
+    """Repeated sampling calls reuse parked pool workers; changing the
+    thread count mid-stream rebuilds the pool without losing correctness
+    (ADVICE r1: the pool must actually persist)."""
+    d, train, *_ = kg_dir
+    key = {(hh, tt, rr) for hh, tt, rr in train}
+    for threads in (8, 3, 8):
+        loader = NativeTrainLoader(str(d), batch_size=16, neg_ent=3,
+                                   neg_rel=3, bern_flag=True, threads=threads)
+        for _ in range(30):
+            batch = loader.sample_normal()
+        y = batch["batch_y"].reshape(7, 16)
+        h = batch["batch_h"].reshape(7, 16)
+        t = batch["batch_t"].reshape(7, 16)
+        r = batch["batch_r"].reshape(7, 16)
+        assert (y[0] == 1).all() and (y[1:] == 0).all()
+        assert h.max() < N_ENT and r.max() < N_REL
+        for i in range(16):
+            assert (int(h[0, i]), int(t[0, i]), int(r[0, i])) in key

@@ -106,3 +106,43 @@ def test_tp_sharding_runs(tiny):
         dbatch = trainer._put_batch(batch)
         state, metrics = step(state, dbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_single_vs_multi_device_parity(tiny):
+    """SURVEY §4: one train step on a 1-device mesh, a dp8 mesh and a
+    dp2xtp4 mesh must produce the same loss and (near-)identical updated
+    params — GSPMD sharding is a layout choice, not a numerics choice."""
+    markg, mars, vocab, store = tiny
+    train = build_finetune_features(mars, vocab, "train", max_seq_length=48)
+    it = BatchIterator(train, 8, shuffle=False, attach=make_attach(store))
+    batch = next(iter(it))
+    batch.pop("valid")
+
+    results = {}
+    for name, (dp, tp, devs) in {
+        "1dev": (1, 1, jax.devices()[:1]),
+        "dp8": (8, 1, None),
+        "dp2tp4": (2, 4, None),
+    }.items():
+        model = UnimoForMaskedLM(tiny_unimo_config(vocab.padded_vocab_size))
+        mesh = make_mesh(dp=dp, tp=tp, devices=devs)
+        cfg = TrainConfig(lr=1e-3, max_epochs=1, batch_size=8)
+        trainer = MarTTrainer(model, vocab, cfg, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch,
+                                   total_steps=10)
+        step = jax.jit(trainer._train_step)
+        with mesh:
+            dbatch = trainer._put_batch(batch)
+            new_state, metrics = step(state, dbatch, jax.random.PRNGKey(1))
+        flat = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+        results[name] = (
+            float(jax.device_get(metrics["loss"])),
+            np.concatenate([np.asarray(x).ravel() for x in flat]),
+        )
+
+    loss_1, params_1 = results["1dev"]
+    for name in ("dp8", "dp2tp4"):
+        loss_n, params_n = results[name]
+        assert abs(loss_n - loss_1) < 1e-5, (name, loss_n, loss_1)
+        np.testing.assert_allclose(params_n, params_1, rtol=2e-5, atol=2e-6,
+                                   err_msg=name)
