@@ -28,13 +28,33 @@ def get_activation(name: str) -> Callable:
     return ACT2FN[name]
 
 
+# Attention lowering: False -> XLA einsum path (reference-identical math);
+# True -> the Pallas fused kernel (kernels/attention.py) which folds the
+# score multiplier + padding bias + softmax + dropout + V contraction into
+# one kernel. Enabled on the TPU hot path (bench/CLI); CPU tests exercise
+# the kernel via interpret mode in tests/test_fused_attention.py.
+USE_FUSED_ATTENTION = False
+FUSED_INTERPRET = False  # interpret-mode kernel (CPU testing)
+
+
+def set_fused_attention(enabled: bool, interpret: bool = False) -> None:
+    global USE_FUSED_ATTENTION, FUSED_INTERPRET
+    USE_FUSED_ATTENTION = enabled
+    FUSED_INTERPRET = interpret
+
+
 class AttentionCore(nn.Module):
     """Q/K/V projection + scaled dot-product attention on (B, L, H) inputs.
 
     TPU notes: head layout (B, heads, L, D); softmax in fp32; optional
-    per-example score multiplier (adaptive analogy mask) and optional extra
+    adaptive analogy score geometry (``analogy``) and optional extra
     key/value states *prepended* to the keys (UniMo passes text K/V into the
     vision tower that way, modeling_unimo.py:227-229).
+
+    ``analogy``: None or (boundary (B,), w0 (1,), w1 (1,), row_start,
+    text_len, offset) — the adaptive-mask geometry of ops/masks.py. The
+    einsum path materializes the multiplier tensor; the fused path builds
+    it inline in VMEM.
     """
 
     num_heads: int
@@ -48,7 +68,7 @@ class AttentionCore(nn.Module):
         self,
         hidden_states: jnp.ndarray,
         attention_bias: Optional[jnp.ndarray] = None,
-        score_multiplier: Optional[jnp.ndarray] = None,
+        analogy: Optional[tuple] = None,
         extra_kv: Optional[tuple] = None,
         extra_kv_bias: Optional[jnp.ndarray] = None,
         output_kv: bool = False,
@@ -85,18 +105,10 @@ class AttentionCore(nn.Module):
                 assert attention_bias is None
                 attention_bias = jnp.concatenate([extra_kv_bias, zeros], axis=-1)
 
-        scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if score_multiplier is not None:
-            scores = scores * score_multiplier.astype(scores.dtype)
-        if attention_bias is not None:
-            scores = scores + attention_bias.astype(scores.dtype)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        if self.dropout_rate > 0.0:
-            probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if USE_FUSED_ATTENTION:
+            ctx = self._fused(q, k, v, attention_bias, analogy, deterministic)
+        else:
+            ctx = self._einsum(q, k, v, attention_bias, analogy, deterministic)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, inner)
         out = nn.Dense(inner, dtype=self.dtype, use_bias=self.out_bias, name="out")(ctx)
         if output_context:
@@ -104,6 +116,68 @@ class AttentionCore(nn.Module):
             # this, modeling_unimo.py:367-373)
             return out, kv_out, ctx
         return out, kv_out
+
+    def _einsum(self, q, k, v, attention_bias, analogy, deterministic):
+        scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if analogy is not None:
+            from ..ops.masks import analogy_score_multiplier
+
+            boundary, w0, w1, row_start, text_len, offset = analogy
+            mult = analogy_score_multiplier(
+                boundary, q.shape[2], w0, w1, text_len=text_len,
+                row_start=row_start,
+                compat_img_offset=offset if offset else None,
+            )
+            scores = scores * mult.astype(scores.dtype)
+        if attention_bias is not None:
+            scores = scores + attention_bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        if self.dropout_rate > 0.0:
+            probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    def _fused(self, q, k, v, attention_bias, analogy, deterministic):
+        from ..kernels.attention import fused_attention
+
+        lk = k.shape[2]
+        if attention_bias is None:
+            mask = jnp.ones((q.shape[0], lk), jnp.float32)
+        else:
+            # bias is 0 / -10000 of shape (B, 1, 1, Lk) everywhere in this
+            # codebase (ops/masks.attention_bias + the extra_kv concat)
+            mask = (attention_bias[:, 0, 0, :] > -1.0).astype(jnp.float32)
+        kwargs = dict()
+        if analogy is not None:
+            boundary, w0, w1, row_start, text_len, offset = analogy
+            if offset:
+                # compat geometry: boundary shifts, rows start at
+                # img_length+1, columns run to the sequence end
+                # (ops/masks.py compat_img_offset)
+                kwargs = dict(boundary=boundary, w0=jnp.clip(w0, 0.0, 0.5),
+                              w1=jnp.clip(w1, 0.5, 1.0), row_start=offset + 1,
+                              text_len=lk, offset=offset)
+            else:
+                kwargs = dict(
+                    boundary=boundary, w0=jnp.clip(w0, 0.0, 0.5),
+                    w1=jnp.clip(w1, 0.5, 1.0), row_start=row_start,
+                    text_len=q.shape[2] if text_len is None else text_len,
+                    offset=0,
+                )
+        rate = float(self.dropout_rate)
+        seed = None
+        if rate > 0.0 and not deterministic:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+            )
+        return fused_attention(
+            q, k, v, mask,
+            dropout_rate=rate, deterministic=deterministic,
+            dropout_seed=seed, compute_dtype=self.dtype,
+            interpret=FUSED_INTERPRET, **kwargs,
+        )
 
 
 def gather_positions(seq: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
@@ -154,7 +228,7 @@ class EncoderLayer(nn.Module):
     attention_dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, attn_bias=None, score_multiplier=None,
+    def __call__(self, x, attn_bias=None, analogy=None,
                  deterministic=True):
         head_dim = self.hidden_size // self.num_heads
         attn = AttentionCore(
@@ -171,14 +245,12 @@ class EncoderLayer(nn.Module):
         act = get_activation(self.hidden_act)
 
         if self.pre_norm:
-            h, _ = attn(ln1(x), attention_bias=attn_bias,
-                        score_multiplier=score_multiplier,
+            h, _ = attn(ln1(x), attention_bias=attn_bias, analogy=analogy,
                         deterministic=deterministic)
             x = x + drop(h, deterministic=deterministic)
             h = fc2(act(fc1(ln2(x))))
             return x + drop(h, deterministic=deterministic)
-        h, _ = attn(x, attention_bias=attn_bias,
-                    score_multiplier=score_multiplier,
+        h, _ = attn(x, attention_bias=attn_bias, analogy=analogy,
                     deterministic=deterministic)
         x = ln1(x + drop(h, deterministic=deterministic))
         h = fc2(act(fc1(x)))
@@ -209,18 +281,14 @@ class AnalogyEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, attn_bias=None, boundary=None, text_len=None,
                  deterministic=True):
-        from ..ops.masks import analogy_score_multiplier
-
-        mult = None
+        analogy = None
         w0, w1 = adaptive_weights(self)
         if boundary is not None:
             if self.compat_img_offset is not None:
-                text_len = None
-            mult = analogy_score_multiplier(
-                boundary, x.shape[1], w0, w1, text_len=text_len,
-                row_start=self.row_start,
-                compat_img_offset=self.compat_img_offset,
-            )
+                text_len, offset = None, self.compat_img_offset
+            else:
+                offset = 0
+            analogy = (boundary, w0, w1, self.row_start, text_len, offset)
         return EncoderLayer(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
             intermediate_size=self.intermediate_size,
@@ -228,7 +296,7 @@ class AnalogyEncoderLayer(nn.Module):
             dtype=self.dtype, pre_norm=self.pre_norm,
             hidden_dropout=self.hidden_dropout,
             attention_dropout=self.attention_dropout, name="layer",
-        )(x, attn_bias=attn_bias, score_multiplier=mult,
+        )(x, attn_bias=attn_bias, analogy=analogy,
           deterministic=deterministic)
 
 
@@ -251,9 +319,10 @@ def tied_logits(word_embeddings, mlm_bias, trans_hidden, compute_dtype,
 
 # Patch-embedding lowering: "reshape" (explicit patchify + one matmul) or
 # "conv" (lax.conv_general_dilated, stride == kernel). Same parameters and
-# numerics either way — this only picks the XLA lowering. Overridable for
-# profiling via tools/bench_opts.py.
-PATCH_EMBED_IMPL = "reshape"
+# numerics either way — this only picks the XLA lowering. Measured on v5e-1
+# (tools/bench_opts.py): conv avoids the strided patchify copy and is ~1.5%
+# faster end-to-end (742 vs 731 ex/s), so it is the default.
+PATCH_EMBED_IMPL = "conv"
 
 
 class PatchEmbed(nn.Module):

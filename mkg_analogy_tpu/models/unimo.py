@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.masks import analogy_score_multiplier, attention_bias
+from ..ops.masks import attention_bias
 from .common import (
     AttentionCore,
     MLMTransform,
@@ -245,11 +245,11 @@ class BertLayer(nn.Module):
             (1,),
         )
         w1 = self.param("adaptive_w1", nn.initializers.constant(0.5), (1,))
-        score_mult = None
+        analogy = None
         if boundary is not None:
-            score_mult = analogy_score_multiplier(
-                boundary, x.shape[1], w0, w1, dtype=jnp.float32
-            )
+            # UniMo geometry: rows from 0, full text coords
+            # (modeling_unimo.py:342-349)
+            analogy = (boundary, w0, w1, 0, None, 0)
         out, kv, raw_ctx = AttentionCore(
             num_heads=cfg.num_heads,
             head_dim=cfg.head_dim,
@@ -259,7 +259,7 @@ class BertLayer(nn.Module):
         )(
             x,
             attention_bias=attn_bias,
-            score_multiplier=score_mult,
+            analogy=analogy,
             output_kv=output_kv,
             output_context=True,
             deterministic=deterministic,

@@ -1,0 +1,127 @@
+"""Pallas fused attention (kernels/attention.py) vs the einsum reference
+path: forward and gradient equivalence in interpret mode (CPU), across the
+mask geometries the models use."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mkg_analogy_tpu.kernels.attention import fused_attention
+from mkg_analogy_tpu.ops.masks import analogy_score_multiplier, attention_bias
+
+
+def einsum_reference(q, k, v, mask, boundary=None, w0=None, w1=None,
+                     row_start=0, text_len=None, offset=0):
+    """The AttentionCore einsum path, standalone."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if boundary is not None:
+        mult = analogy_score_multiplier(
+            boundary, q.shape[2], w0, w1, text_len=text_len,
+            row_start=row_start, compat_img_offset=offset if offset else None,
+        )
+        scores = scores * mult.astype(scores.dtype)
+    scores = scores + attention_bias(mask).astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def make_inputs(b=2, h=3, lq=12, lk=12, d=8, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, h, lk, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, h, lk, d)), dtype)
+    mask = np.ones((b, lk), np.float32)
+    mask[:, lk - 2:] = 0.0
+    return q, k, v, jnp.asarray(mask)
+
+
+CASES = [
+    # (boundary, row_start, text_len, offset)
+    dict(),                                             # padding mask only
+    dict(boundary=(5, 7), row_start=0),                 # unimo geometry
+    dict(boundary=(5, 7), row_start=1),                 # vilbert/flava
+    dict(boundary=(4, 6), row_start=1, text_len=8),     # single-stream fix
+    dict(boundary=(3, 5), row_start=5, offset=4),       # compat img offset
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_forward_matches_einsum(case):
+    q, k, v, mask = make_inputs()
+    kwargs = dict(case)
+    if "boundary" in kwargs:
+        kwargs["boundary"] = jnp.asarray(kwargs["boundary"])
+        kwargs["w0"] = jnp.asarray([0.3])
+        kwargs["w1"] = jnp.asarray([0.7])
+    want = einsum_reference(q, k, v, mask, **kwargs)
+    got = fused_attention(q, k, v, mask, deterministic=True,
+                          compute_dtype=jnp.float32, interpret=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_grads_match_einsum():
+    """dq/dk/dv and the adaptive-scalar grads dw0/dw1 match autodiff of the
+    einsum path (including the softmax backward and multiplier chain)."""
+    q, k, v, mask = make_inputs(seed=3)
+    boundary = jnp.asarray([5, 7])
+
+    def loss_ref(q, k, v, w0, w1):
+        out = einsum_reference(q, k, v, mask, boundary=boundary, w0=w0,
+                               w1=w1, row_start=1, text_len=10)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_fused(q, k, v, w0, w1):
+        out = fused_attention(q, k, v, mask, boundary=boundary, w0=w0, w1=w1,
+                              row_start=1, text_len=10, deterministic=True,
+                              compute_dtype=jnp.float32, interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    w0, w1 = jnp.asarray([0.3]), jnp.asarray([0.7])
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, w0, w1)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, w0, w1)
+    for a, b, name in zip(g_ref, g_fused, "q k v w0 w1".split()):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5,
+                                   err_msg=name)
+
+
+def test_cross_length_kv():
+    """Lq != Lk (the UniMo vision tower attending [text ; vision])."""
+    q, _, _, _ = make_inputs(lq=9, lk=9)
+    _, k, v, mask = make_inputs(lq=20, lk=20, seed=5)
+    want = einsum_reference(q, k, v, mask)
+    got = fused_attention(q, k, v, mask, deterministic=True,
+                          compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_attention_core_fused_flag_equivalence():
+    """The full AttentionCore module produces the same output with the
+    fused kernel (interpret) as with the einsum path."""
+    from flax import linen as nn
+
+    from mkg_analogy_tpu.models import common
+
+    B, L, H, D = 2, 12, 2, 8
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B, L, H * D)), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[:, 10:] = 0
+    bias = attention_bias(jnp.asarray(mask))
+    core = common.AttentionCore(num_heads=H, head_dim=D, dtype=jnp.float32)
+    analogy = (jnp.asarray([4, 6]), jnp.asarray([0.25]), jnp.asarray([0.6]),
+               0, None, 0)
+    params = core.init(jax.random.PRNGKey(0), x, attention_bias=bias,
+                       analogy=analogy)
+    try:
+        common.set_fused_attention(False)
+        want, _ = core.apply(params, x, attention_bias=bias, analogy=analogy)
+        common.set_fused_attention(True, interpret=True)
+        got, _ = core.apply(params, x, attention_bias=bias, analogy=analogy)
+    finally:
+        common.set_fused_attention(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

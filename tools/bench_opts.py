@@ -83,8 +83,11 @@ def main():
 
     if args.variant in ("qkv", "both"):
         patch_qkv()
-    if args.variant in ("convpatch", "both"):
+    if args.variant in ("convpatch", "both", "fused+conv"):
         patch_convpatch()
+    if args.variant in ("fused", "fused+conv"):
+        from mkg_analogy_tpu.models import common
+        common.set_fused_attention(True)
 
     from __graft_entry__ import _synthetic_batch
     from mkg_analogy_tpu.core.mesh import make_mesh
