@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=32)
     # Model args (models/model.py)
     p.add_argument("--pretrain", type=int, default=0)
+    # diagnostic ablation (models/vilbert.py VilBertConfig.ablate_img_to_txt)
+    p.add_argument("--vilbert_ablate_img_to_txt", type=int, default=0)
     # LitModel args (lit_models/base.py + transformer.py)
     p.add_argument("--optimizer", type=str, default="AdamW")
     p.add_argument("--lr", type=float, default=5e-5)
@@ -102,6 +104,8 @@ def make_model(args, vocab_size: int):
         for k in ("hidden_size", "num_layers", "num_heads", "intermediate_size")
         if getattr(args, k, None)
     }
+    if getattr(args, "vilbert_ablate_img_to_txt", 0):
+        overrides["vilbert_ablate_img_to_txt"] = True
     return create_model(args.model_class, vocab_size=vocab_size,
                         dtype=args.dtype, **overrides)
 

@@ -91,6 +91,7 @@ def _flava(vocab_size: int, dtype: str = "bfloat16", **kw):
 @register("VilBertKGC")
 def _vilbert(vocab_size: int, dtype: str = "bfloat16", **kw):
     text = _text_cfg(vocab_size, kw)
+    ablate = bool(kw.get("vilbert_ablate_img_to_txt", False))
     # scale the rendezvous schedule to a reduced depth (tiny/test configs):
     # the default 6-connection schedule indexes text layers 6..11
     # (vilbert.py config bert_base_6layer_6conect)
@@ -103,6 +104,7 @@ def _vilbert(vocab_size: int, dtype: str = "bfloat16", **kw):
             v_num_layers=v_num_layers,
             v_biattention_id=tuple(range(n_conn)),
             t_biattention_id=tuple(range(t_start, text.num_layers)),
+            ablate_img_to_txt=ablate,
         )
     )
 

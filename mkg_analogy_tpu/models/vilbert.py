@@ -50,6 +50,14 @@ class VilBertConfig:
     t_biattention_id: Tuple[int, ...] = (6, 7, 8, 9, 10, 11)
     layer_norm_eps: float = 1e-12
     dtype: str = "bfloat16"
+    # DIAGNOSTIC (not reference behavior): drop the image->text co-attention
+    # context. In the zero-region-feature regime every image token is the
+    # same learned constant, so each connection layer force-injects a
+    # constant vector into every text position (softmax over identical
+    # keys is uniform) — this flag isolates that injection as the cause of
+    # the from-scratch collapse (RESULTS.md ViLBERT 0.082 vs VisualBERT
+    # 0.179 under the same handicap).
+    ablate_img_to_txt: bool = False
 
     @property
     def compute_dtype(self):
@@ -111,6 +119,8 @@ class ConnectionLayer(nn.Module):
             cfg.bi_num_heads, cfg.bi_hidden_size, cfg.text.hidden_size,
             dtype=dtype, name="txt_from_img",
         )(txt, img, kv_bias=img_bias, deterministic=deterministic)
+        if cfg.ablate_img_to_txt:
+            txt_ctx = jnp.zeros_like(txt_ctx)
         drop = nn.Dropout(cfg.text.hidden_dropout)
         img = nn.LayerNorm(epsilon=eps, dtype=dtype, name="img_ln")(
             img + drop(img_ctx, deterministic=deterministic)
