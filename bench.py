@@ -6,10 +6,19 @@ MarT/scripts/run_finetune_mkgformer.sh), full train step: forward + backward
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); we use an
-estimated PyTorch fp32 A100 rate of ~320 examples/sec for this model/batch
-(0.1 s/step at bsz 32) as the denominator. BASELINE.json's north star is
->=5x that per v5e chip.
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+denominator is an estimated PyTorch A100 rate of ~320 examples/sec for this
+model/batch (0.1 s/step at bsz 32). Derivation and a same-host measured
+calibration datapoint are in BASELINE.md ("Denominator calibration"):
+- XLA cost analysis of this exact train step: 132.3 GFLOPs/example
+  (fwd+bwd+AdamW), so 320 ex/s = 42 TFLOP/s = ~27% MFU of an A100's
+  156 TFLOP/s TF32 peak — the typical eager-PyTorch fine-tune band.
+- Measured on THIS host (CPU, batch 8): reference torch step 60.3 s,
+  this framework's jax step 44.0 s — 1.37x apples-to-apples.
+Note the physics: at 132.3 GFLOPs/example, a v5e chip (197 TFLOP/s bf16)
+tops out at ~1,489 ex/s at 100% MFU, so BASELINE.json's >=5x north star
+(1,600 ex/s) exceeds speed-of-light for these semantics; the honest
+target is maximum MFU (current figure ~= value/1489 of peak).
 """
 
 from __future__ import annotations
