@@ -81,8 +81,12 @@ class AttentionCore(nn.Module):
         def proj(name):
             return nn.Dense(inner, dtype=self.dtype, name=name)(hidden_states)
 
+        # Heads stay in (B, L, heads, head_dim): the einsums below carry the
+        # head dimension through dot_general batch dims, so no (B,h,L,d)
+        # transpose is ever materialized (the explicit transpose showed up
+        # as a 6.3 MB layout copy per projection per layer in the step HLO).
         def split_heads(x):
-            return x.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+            return x.reshape(b, l, self.num_heads, self.head_dim)
 
         q = split_heads(proj("query"))
         k = split_heads(proj("key"))
@@ -90,9 +94,9 @@ class AttentionCore(nn.Module):
         kv_out = (k, v) if output_kv else None
 
         if extra_kv is not None:
-            n_extra = extra_kv[0].shape[2]
-            k = jnp.concatenate([extra_kv[0].astype(k.dtype), k], axis=2)
-            v = jnp.concatenate([extra_kv[1].astype(v.dtype), v], axis=2)
+            n_extra = extra_kv[0].shape[1]
+            k = jnp.concatenate([extra_kv[0].astype(k.dtype), k], axis=1)
+            v = jnp.concatenate([extra_kv[1].astype(v.dtype), v], axis=1)
             if extra_kv_bias is not None:
                 # Mask padded text keys when they feed another tower's
                 # attention. (The reference leaves PAD embeddings attendable,
@@ -109,7 +113,7 @@ class AttentionCore(nn.Module):
             ctx = self._fused(q, k, v, attention_bias, analogy, deterministic)
         else:
             ctx = self._einsum(q, k, v, attention_bias, analogy, deterministic)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, inner)
+        ctx = ctx.reshape(b, l, inner)
         out = nn.Dense(inner, dtype=self.dtype, use_bias=self.out_bias, name="out")(ctx)
         if output_context:
             # raw pre-out-projection context (UniMo's BertFusion consumes
@@ -118,30 +122,66 @@ class AttentionCore(nn.Module):
         return out, kv_out
 
     def _einsum(self, q, k, v, attention_bias, analogy, deterministic):
-        scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if analogy is not None:
-            from ..ops.masks import analogy_score_multiplier
+        """XLA attention with flash-style rematerialization.
 
+        The scores -> multiplier -> softmax -> dropout -> @V region is
+        wrapped in ``jax.checkpoint(policy=nothing_saveable)``: the backward
+        pass recomputes probabilities and dropout masks from (q, k, v, bias,
+        key) instead of stashing them. Without this, XLA saves the softmax
+        probs (B,h,L,L bf16) AND the raw dropout RNG bits (B,h,L,L u32,
+        behind a layout copy) per layer — ~38 MB/text-layer of HBM write +
+        read traffic on the flagship step, measured at ~13% of step time
+        (tools/attr_trace.py). The recompute is one extra QK^T matmul +
+        softmax + rbg draw per layer in the backward (<2% of step FLOPs).
+        """
+        rate = float(self.dropout_rate)
+        use_dropout = rate > 0.0 and not deterministic
+        key = self.make_rng("dropout") if use_dropout else None
+        row_start = text_len = offset = None
+        lq = q.shape[1]
+        if analogy is not None:
             boundary, w0, w1, row_start, text_len, offset = analogy
-            mult = analogy_score_multiplier(
-                boundary, q.shape[2], w0, w1, text_len=text_len,
-                row_start=row_start,
-                compat_img_offset=offset if offset else None,
-            )
-            scores = scores * mult.astype(scores.dtype)
-        if attention_bias is not None:
-            scores = scores + attention_bias.astype(scores.dtype)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        if self.dropout_rate > 0.0:
-            probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
-        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            analogy_arrs = (boundary, w0, w1)
+        else:
+            analogy_arrs = None
+
+        def core(q, k, v, attention_bias, analogy_arrs, key):
+            scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if analogy_arrs is not None:
+                from ..ops.masks import analogy_score_multiplier
+
+                boundary, w0, w1 = analogy_arrs
+                mult = analogy_score_multiplier(
+                    boundary, lq, w0, w1, text_len=text_len,
+                    row_start=row_start,
+                    compat_img_offset=offset if offset else None,
+                )
+                scores = scores * mult.astype(scores.dtype)
+            if attention_bias is not None:
+                scores = scores + attention_bias.astype(scores.dtype)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            if use_dropout:
+                keep = jax.random.bernoulli(key, 1.0 - rate, probs.shape)
+                probs = jnp.where(
+                    keep, probs / (1.0 - rate), jnp.zeros_like(probs)
+                )
+            return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        core = jax.checkpoint(
+            core, policy=jax.checkpoint_policies.nothing_saveable
+        )
+        return core(q, k, v, attention_bias, analogy_arrs, key)
 
     def _fused(self, q, k, v, attention_bias, analogy, deterministic):
         from ..kernels.attention import fused_attention
 
+        # kernel convention is (B, heads, L, d)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
         lk = k.shape[2]
         if attention_bias is None:
             mask = jnp.ones((q.shape[0], lk), jnp.float32)
@@ -172,12 +212,13 @@ class AttentionCore(nn.Module):
             seed = jax.random.randint(
                 self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
             )
-        return fused_attention(
+        ctx = fused_attention(
             q, k, v, mask,
             dropout_rate=rate, deterministic=deterministic,
             dropout_seed=seed, compute_dtype=self.dtype,
             interpret=FUSED_INTERPRET, **kwargs,
         )
+        return ctx.transpose(0, 2, 1, 3)  # back to (B, L, heads, d)
 
 
 def gather_positions(seq: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:

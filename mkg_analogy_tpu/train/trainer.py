@@ -344,17 +344,20 @@ class MarTTrainer:
             pad_tail=True,
         )
         step = self._get_jitted("eval", self._eval_step)
-        all_ranks, all_is_rel = [], []
+        # Dispatch all batches asynchronously and fetch ONCE at the end:
+        # a per-batch device_get is a synchronous tunnel round-trip that
+        # serializes eval (measured ~45 s/epoch on MarKG dev vs ~7 s of
+        # device compute).
+        outs = []
         with self.mesh:
             for dbatch in self._prefetch(it, self._put_batch):
                 if self.image_table is not None:
-                    out = step(params, dbatch, self.image_table)
+                    outs.append(step(params, dbatch, self.image_table))
                 else:
-                    out = step(params, dbatch)
-                out = jax.device_get(out)
-                m = out["valid"]
-                all_ranks.append(out["ranks"][m])
-                all_is_rel.append(out["is_rel"][m])
+                    outs.append(step(params, dbatch))
+        outs = jax.device_get(outs)
+        all_ranks = [o["ranks"][o["valid"]] for o in outs]
+        all_is_rel = [o["is_rel"][o["valid"]] for o in outs]
         ranks = np.concatenate(all_ranks)
         is_rel = np.concatenate(all_is_rel)
         metrics: Dict[str, float] = {}
