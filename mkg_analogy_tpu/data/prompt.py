@@ -272,4 +272,22 @@ def build_pretrain_features(
         if h not in markg.ent2id or t not in markg.ent2id or r not in markg.rel2id:
             continue  # drop triples without text (processor.py:650-658)
         examples.extend(pb.encode_pretrain_triple(h, r, t, rng))
-    return stack_features(examples)
+    feats = stack_features(examples)
+    # Loud invariant check (host-side, pre-jit): the eval step scores
+    # relation rows against the relation logit slice, so a relation-type
+    # label outside [0, num_relations) would silently produce a wrong rank
+    # under jit. Fail here instead.
+    is_rel = feats["pre_type"] == 2
+    n_rel = vocab.relation_id_ed - vocab.relation_id_st
+    n_ent = vocab.entity_id_ed - vocab.entity_id_st
+    if is_rel.any():
+        bad = (feats["label"][is_rel] < 0) | (feats["label"][is_rel] >= n_rel)
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} pre_type=2 rows have relation labels "
+                f"outside [0, {n_rel})"
+            )
+    ent_labels = feats["label"][~is_rel]
+    if ent_labels.size and ((ent_labels < 0) | (ent_labels >= n_ent)).any():
+        raise ValueError(f"entity labels outside [0, {n_ent})")
+    return feats

@@ -275,6 +275,10 @@ class MarTTrainer:
             )
             n_ent = v.entity_id_ed - v.entity_id_st
             ent_ranks = ranks_from_scores(logits[:, :n_ent], batch["label"])
+            # labels mix entity indices (pre_type 0/1) and relation indices
+            # (pre_type 2); the clip only neutralizes entity labels flowing
+            # through the (discarded) relation-rank lane. The real range
+            # invariant is asserted host-side in build_pretrain_features.
             rel_ranks = ranks_from_scores(
                 logits[:, n_ent:], jnp.clip(batch["label"], 0, logits.shape[1] - n_ent - 1)
             )
