@@ -164,7 +164,15 @@ class AttentionCore(nn.Module):
                 scores = scores + attention_bias.astype(scores.dtype)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             if use_dropout:
-                keep = jax.random.bernoulli(key, 1.0 - rate, probs.shape)
+                # Draw the keep-mask with q/k swapped, then view-transpose:
+                # iid bits are layout-free, and the swapped draw's default
+                # layout matches what the probs fusion wants — the straight
+                # draw cost a 25 MB u32 layout copy per generation in the
+                # step HLO (fwd + bwd recompute).
+                b_, h_, lq_, lk_ = probs.shape
+                keep = jax.random.bernoulli(
+                    key, 1.0 - rate, (b_, h_, lk_, lq_)
+                ).swapaxes(-1, -2)
                 probs = jnp.where(
                     keep, probs / (1.0 - rate), jnp.zeros_like(probs)
                 )
