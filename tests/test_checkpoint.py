@@ -94,3 +94,38 @@ def test_partial_restore_shape_mismatch():
     merged = partial_restore(cur, res)
     np.testing.assert_array_equal(merged["a"], res["a"])
     np.testing.assert_array_equal(merged["b"], cur["b"])
+
+
+def test_async_save_snapshots_before_donation(tmp_path):
+    """save() returns before the write lands; the enqueued values must be
+    the ones at call time even if the caller's buffers are then donated
+    into a jitted update (the training loop does exactly this)."""
+    params = {"w": jnp.arange(8.0)}
+
+    @jax.jit
+    def bump(p):
+        return {"w": p["w"] + 1.0}
+
+    bump_donating = jax.jit(lambda p: {"w": p["w"] * 0.0}, donate_argnums=0)
+
+    ckpt = Checkpointer(str(tmp_path / "async"))
+    ckpt.save(1, params)
+    params = bump_donating(params)  # invalidates the original buffers
+    ckpt.flush()
+    restored = Checkpointer(str(tmp_path / "async")).restore(
+        like={"w": jnp.zeros(8)}
+    )
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(8.0))
+
+
+def test_async_save_error_surfaces(tmp_path):
+    """A failing background save must raise on the next flush/save, not
+    vanish."""
+    ckpt = Checkpointer(str(tmp_path / "err"))
+
+    class Bad:
+        """Not a saveable tree leaf."""
+
+    ckpt.save(1, {"w": Bad()})
+    with pytest.raises(BaseException):
+        ckpt.flush()
