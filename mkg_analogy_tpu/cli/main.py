@@ -175,7 +175,35 @@ def main(argv=None):
     trainer = MarTTrainer(model, data.vocab, cfg, mesh=mesh, logger=logger)
     ckpt = Checkpointer(os.path.join(args.output_dir, "ckpt"))
 
-    if args.host_gather:
+    if args.image_features == "synthetic" and kind == "pixels":
+        # Identity-signal ablation: deterministic per-entity noise images,
+        # generated directly ON DEVICE (the (11292, 3, 224, 224) bf16 table
+        # is ~3.4 GB — never materialized on the host or shipped over the
+        # tunnel). The real entity photos are an external download the
+        # zero-egress environment cannot fetch; this mode proves the
+        # vision tower + fusion path transmits per-entity signal
+        # end-to-end (see RESULTS.md).
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = data.markg.num_entities
+        shape = (3, img_size or 224, img_size or 224)
+
+        def _make_table():
+            tab = jax.random.normal(
+                jax.random.PRNGKey(314159), (n,) + shape, jnp.bfloat16
+            )
+            return jnp.concatenate(
+                [tab, jnp.zeros((1,) + shape, jnp.bfloat16)], axis=0
+            )
+
+        with mesh:
+            table = jax.jit(
+                _make_table, out_shardings=NamedSharding(mesh, P())
+            )()
+        trainer.set_image_table(table, kind=kind)
+        attach = None
+    elif args.host_gather:
         attach = data.pixel_attach()
     else:
         # device-resident feature table: only int indices cross the link
