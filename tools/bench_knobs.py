@@ -122,6 +122,50 @@ def main():
                 results[variant] = B / dt
                 print(variant, round(B / dt, 1), "ex/s", flush=True)
                 continue
+            elif variant == "bf16mom":
+                # AdamW with bf16 first/second moments: halves optimizer
+                # HBM traffic (m+v are 2x792MB fp32 on the 198M-param
+                # flagship). Numerics deviation is measured separately.
+                from flax.training import train_state as ts
+
+                def scale_by_adam_bf16():
+                    def init_fn(params):
+                        z = lambda p: jnp.zeros_like(p, dtype=jnp.bfloat16)
+                        return (jax.tree_util.tree_map(z, params),
+                                jax.tree_util.tree_map(z, params),
+                                jnp.zeros((), jnp.int32))
+                    def update_fn(updates, st, params=None):
+                        m, v, cnt = st
+                        cnt = cnt + 1
+                        b1, b2, eps = 0.9, 0.999, 1e-8
+                        m = jax.tree_util.tree_map(
+                            lambda mm, g: (b1 * mm.astype(jnp.float32)
+                                           + (1 - b1) * g).astype(jnp.bfloat16),
+                            m, updates)
+                        v = jax.tree_util.tree_map(
+                            lambda vv, g: (b2 * vv.astype(jnp.float32)
+                                           + (1 - b2) * g * g).astype(jnp.bfloat16),
+                            v, updates)
+                        c = cnt.astype(jnp.float32)
+                        out = jax.tree_util.tree_map(
+                            lambda mm, vv: -(1e-4) * (mm.astype(jnp.float32) / (1 - 0.9 ** c))
+                            / (jnp.sqrt(vv.astype(jnp.float32) / (1 - 0.999 ** c)) + eps),
+                            m, v)
+                        return out, (m, v, cnt)
+                    return optax.GradientTransformation(init_fn, update_fn)
+
+                st3 = ts.TrainState.create(apply_fn=model.apply,
+                                           params=state.params,
+                                           tx=scale_by_adam_bf16())
+                def stp(state, b, r, _t=trainer):
+                    r = jax.random.fold_in(r, state.step)
+                    grads, m = jax.grad(lambda p: _t._finetune_loss(p, b, r), has_aux=True)(state.params)
+                    return state.apply_gradients(grads=grads), m
+                step = jax.jit(stp, donate_argnums=0)
+                dt = time_fn(step, st3, db, rng)
+                results[variant] = B / dt
+                print(variant, round(B / dt, 1), "ex/s", flush=True)
+                continue
             elif variant == "fwdonly":
                 def stp(state, b, r, _t=trainer):
                     r = jax.random.fold_in(r, state.step)
