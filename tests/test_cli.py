@@ -121,3 +121,33 @@ def test_main_cli_pretrain(dataset, tmp_path):
     # pretrain evaluates both entity and relation ranks
     assert "Eval_entity/mrr" in metrics
     assert "Eval_relation/mrr" in metrics
+
+
+def test_main_cli_synthetic_images(dataset, tmp_path):
+    """--image_features synthetic builds the identity-noise table on device
+    and trains/evals end-to-end (cli/main.py synthetic branch)."""
+    from mkg_analogy_tpu.cli.main import main
+
+    root, markg_dir, mars_dir = dataset
+    metrics = main([
+        "--data_dir", mars_dir,
+        "--pretrain_path", markg_dir,
+        "--model_class", "MKGformerKGC",
+        "--image_features", "synthetic",
+        "--max_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--max_seq_length", "48",
+        "--text_vocab_size", "256",
+        "--hidden_size", "32",
+        "--num_layers", "2",
+        "--num_heads", "2",
+        "--intermediate_size", "64",
+        "--dtype", "float32",
+        "--dp", "8",
+        "--output_dir", str(tmp_path / "out"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--cache_dir", str(tmp_path / "cache"),
+    ])
+    assert "Eval_entity/mrr" in metrics
+    assert 0 < metrics["Eval_entity/mrr"] <= 1
