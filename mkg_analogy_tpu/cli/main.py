@@ -187,12 +187,26 @@ def main(argv=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n = data.markg.num_entities
-        shape = (3, img_size or 224, img_size or 224)
+        size = img_size or 224
+        shape = (3, size, size)
 
         def _make_table():
-            tab = jax.random.normal(
-                jax.random.PRNGKey(314159), (n,) + shape, jnp.bfloat16
+            # Low-frequency identity patterns, NOT white noise: each
+            # (size/7)^2 block is one per-entity Gaussian value, so the
+            # ViT-B/32 patch embedding of each (uniform) patch is a scalar
+            # times a fixed vector — a clean 3x7x7 identity code the tower
+            # can actually learn to read. (Measured: per-pixel white-noise
+            # images score BELOW the zero-image baseline — 0.225 vs 0.297
+            # test MRR — because noise-pattern discrimination from scratch
+            # is itself an unsolved subtask; see RESULTS.md.)
+            blocks = max(1, size // 32)
+            g = jax.random.normal(
+                jax.random.PRNGKey(314159), (n, 3, blocks, blocks),
+                jnp.bfloat16,
             )
+            rep = size // blocks
+            tab = jnp.repeat(jnp.repeat(g, rep, axis=2), rep, axis=3)
+            tab = tab[:, :, :size, :size]
             return jnp.concatenate(
                 [tab, jnp.zeros((1,) + shape, jnp.bfloat16)], axis=0
             )
