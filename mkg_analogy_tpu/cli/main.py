@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.4,
                    help="weight of the relaxation (similarity) loss")
     p.add_argument("--only_test", action="store_true", default=False)
+    p.add_argument("--export_torch", type=str, default=None,
+                   help="write the best params as a reference-format torch "
+                        "checkpoint (MKGformerKGC only)")
     # Trainer args (pl.Trainer surface used by the run scripts)
     p.add_argument("--max_epochs", type=int, default=15)
     p.add_argument("--gpus", type=str, default=None,
@@ -266,6 +269,23 @@ def main(argv=None):
     test_metrics = trainer.evaluate(params, test_feats, attach=attach)
     logger.log(int(state.step), test_metrics, prefix="test/")
     print(test_metrics)
+    if args.export_torch and args.model_class == "MKGformerKGC":
+        # reference-format torch checkpoint of the best params
+        # (models/export_torch.py; loadable by MarT main.py --checkpoint)
+        import torch as _torch
+
+        from ..models.export_torch import (
+            state_dict_to_torch,
+            unimo_params_to_reference,
+        )
+
+        sd = unimo_params_to_reference(
+            jax.device_get(params),
+            num_layers=model.cfg.text.num_layers,
+            vocab_rows=data.vocab.vocab_size,
+        )
+        _torch.save({"state_dict": state_dict_to_torch(sd)}, args.export_torch)
+        print(f"exported reference-format checkpoint to {args.export_torch}")
     return test_metrics
 
 
