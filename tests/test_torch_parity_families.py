@@ -354,3 +354,47 @@ def test_vilbert_parity():
     )
     np.testing.assert_allclose(flax_trans, trans.numpy(), atol=ATOL)
     np.testing.assert_allclose(flax_logits, out.logits.numpy(), atol=ATOL)
+
+
+def test_visualbert_export_roundtrip():
+    """export_torch.visualbert_params_to_reference inverts the importer and
+    loads into the reference model with no unexpected keys."""
+    from transformers.models.visual_bert import VisualBertConfig as HFCfg
+
+    vb = load_ref_module("ref_visual_bert", "modeling_visual_bert.py")
+    torch.manual_seed(1)
+    cfg = HFCfg(vocab_size=128, hidden_size=32, num_hidden_layers=3,
+                num_attention_heads=2, intermediate_size=64,
+                visual_embedding_dim=16, max_position_embeddings=64,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    ref = vb.VisualBertForMaskedLM(cfg)
+    ref.eval()
+
+    from mkg_analogy_tpu.models.export_torch import (
+        state_dict_to_torch,
+        visualbert_params_to_reference,
+    )
+    from mkg_analogy_tpu.models.import_torch import (
+        visualbert_params_from_reference,
+    )
+
+    params = visualbert_params_from_reference(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+        num_layers=3,
+    )
+    sd = visualbert_params_to_reference(params, num_layers=3)
+    back = visualbert_params_from_reference(sd, num_layers=3)
+    import jax
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path)
+        )
+
+    fresh = vb.VisualBertForMaskedLM(cfg)
+    result = fresh.load_state_dict(state_dict_to_torch(sd), strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    assert all("position_ids" in k for k in result.missing_keys), result.missing_keys
