@@ -398,3 +398,136 @@ def test_visualbert_export_roundtrip():
     result = fresh.load_state_dict(state_dict_to_torch(sd), strict=False)
     assert not result.unexpected_keys, result.unexpected_keys
     assert all("position_ids" in k for k in result.missing_keys), result.missing_keys
+
+
+def _assert_roundtrip(params, back):
+    import jax
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path)
+        )
+
+
+def test_vilt_export_roundtrip():
+    from transformers.models.vilt.configuration_vilt import ViltConfig as HFCfg
+
+    vilt = load_ref_module("ref_vilt", "modeling_vilt.py")
+    torch.manual_seed(2)
+    cfg = HFCfg(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=64, image_size=32,
+                patch_size=16, max_position_embeddings=64,
+                modality_type_vocab_size=2, max_image_length=-1,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                tie_word_embeddings=True)
+    ref = vilt.ViltForMaskedLM(cfg)
+    from mkg_analogy_tpu.models.export_torch import (
+        state_dict_to_torch,
+        vilt_params_to_reference,
+    )
+    from mkg_analogy_tpu.models.import_torch import vilt_params_from_reference
+
+    params = vilt_params_from_reference(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+        num_layers=2,
+    )
+    sd = vilt_params_to_reference(params, num_layers=2)
+    _assert_roundtrip(params, vilt_params_from_reference(sd, num_layers=2))
+    fresh = vilt.ViltForMaskedLM(cfg)
+    result = fresh.load_state_dict(state_dict_to_torch(sd), strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    allowed = ("position_ids", "pooler")
+    assert all(any(a in k for a in allowed) for k in result.missing_keys), (
+        result.missing_keys
+    )
+
+
+def test_flava_export_roundtrip():
+    from transformers.models.flava.configuration_flava import (
+        FlavaConfig as HFCfg,
+        FlavaImageConfig,
+        FlavaMultimodalConfig,
+        FlavaTextConfig,
+    )
+
+    flava = load_ref_module("ref_flava", "modeling_flava.py")
+    torch.manual_seed(3)
+    kw = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+              intermediate_size=64, hidden_dropout_prob=0.0,
+              attention_probs_dropout_prob=0.0)
+    cfg = HFCfg(
+        image_config=FlavaImageConfig(image_size=32, patch_size=16, **kw).to_dict(),
+        text_config=FlavaTextConfig(vocab_size=128,
+                                    max_position_embeddings=64, **kw).to_dict(),
+        multimodal_config=FlavaMultimodalConfig(**kw).to_dict(),
+        hidden_size=32,
+    )
+    ref = flava.FlavaForMaskedLM(cfg)
+    from mkg_analogy_tpu.models.export_torch import (
+        flava_params_to_reference,
+        state_dict_to_torch,
+    )
+    from mkg_analogy_tpu.models.import_torch import flava_params_from_reference
+
+    params = flava_params_from_reference(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+        num_layers=2, mm_layers=2,
+    )
+    sd = flava_params_to_reference(params, num_layers=2, mm_layers=2)
+    _assert_roundtrip(
+        params, flava_params_from_reference(sd, num_layers=2, mm_layers=2)
+    )
+    fresh = flava.FlavaForMaskedLM(cfg)
+    result = fresh.load_state_dict(state_dict_to_torch(sd), strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    allowed = ("position_ids", "pooler", "layernorm", "projection",
+               "logit_scale", "mask_token", "adaptive_weight", "itm_head",
+               "decoder")
+    assert all(any(a in k for a in allowed) for k in result.missing_keys), (
+        result.missing_keys
+    )
+
+
+def test_vilbert_export_roundtrip():
+    vl = load_ref_module("ref_vilbert", "vilbert.py")
+    torch.manual_seed(4)
+    cfg = vl.BertConfig(
+        vocab_size_or_config_json_file=128, hidden_size=32,
+        num_hidden_layers=3, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, v_feature_size=16, v_hidden_size=32,
+        v_num_hidden_layers=2, v_num_attention_heads=2,
+        v_intermediate_size=32, bi_hidden_size=32, bi_num_attention_heads=2,
+        v_biattention_id=[0, 1], t_biattention_id=[1, 2],
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0,
+    )
+    ref = vl.VilBertForMaskLM(cfg)
+    from mkg_analogy_tpu.models.export_torch import (
+        state_dict_to_torch,
+        vilbert_params_to_reference,
+    )
+    from mkg_analogy_tpu.models.import_torch import vilbert_params_from_reference
+
+    params = vilbert_params_from_reference(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+        num_layers=3, v_num_layers=2, num_connections=2,
+    )
+    sd = vilbert_params_to_reference(
+        params, num_layers=3, v_num_layers=2, num_connections=2
+    )
+    _assert_roundtrip(
+        params,
+        vilbert_params_from_reference(
+            sd, num_layers=3, v_num_layers=2, num_connections=2
+        ),
+    )
+    fresh = vl.VilBertForMaskLM(cfg)
+    result = fresh.load_state_dict(state_dict_to_torch(sd), strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    allowed = ("position_ids", "pooler", "q_dense", "decoder")
+    assert all(any(a in k for a in allowed) for k in result.missing_keys), (
+        result.missing_keys
+    )
