@@ -158,8 +158,14 @@ class NegativeSampler:
         r = np.repeat(s.rels[idx][:, None], cols, axis=1)
         for i, j in enumerate(idx):
             hh, tt, rr = int(s.heads[j]), int(s.tails[j]), int(s.rels[j])
+            # p(corrupt head) = lef/(lef+rig) = tph/(tph+hpt): the TransH
+            # bern rule as the reference's EXECUTED Base.so implements it
+            # (verified head-to-head, tools/race_base_so.py). The repo's
+            # unused fallback PyTorchTrainDataLoader.py:167 flips the two
+            # sides relative to its own Base.so — a documented quirk we do
+            # NOT reproduce.
             prob = (
-                s.rig_mean[rr] / (s.rig_mean[rr] + s.lef_mean[rr])
+                s.lef_mean[rr] / (s.rig_mean[rr] + s.lef_mean[rr])
                 if self.bern
                 else 0.5
             )

@@ -190,25 +190,71 @@ void compute_bern_stats() {
 }
 
 // ------------------------------------------------------------- sampling
-// draw a HEAD candidate h' with (h', r, t) not in train
-INT draw_corrupt_head(Xoshiro &rng, INT t, INT r, bool filter) {
-  while (true) {
-    INT cand = rng.uniform(g_ent_total);
-    if (!filter || !train_has_tail(cand, r, t)) return cand;
-  }
+// Negatives are drawn UNIFORMLY FROM THE COMPLEMENT of the existing
+// neighbor set via order statistics over the per-key adjacency range —
+// one small binary search per draw, no rejection loop and no global
+// binary search (this is also how OpenKE's Base.cpp achieves its speed;
+// racing the rejection-loop version against the prebuilt Base.so measured
+// 219k vs 328k triples/s on the MarKG spec).
+struct Range {
+  const Triple *lo, *hi;  // adjacency slice in one of the sorted arrays
+};
+
+Range tail_range(INT h, INT r) {  // tails of (h, ?, r) in g_train_hrt
+  Triple a{h, r, -1}, b{h, r, (INT)1e18};
+  return {std::lower_bound(g_train_hrt.data(),
+                           g_train_hrt.data() + g_train_hrt.size(), a, cmp_hrt),
+          std::lower_bound(g_train_hrt.data(),
+                           g_train_hrt.data() + g_train_hrt.size(), b, cmp_hrt)};
 }
-// draw a TAIL candidate t' with (h, r, t') not in train
-INT draw_corrupt_tail(Xoshiro &rng, INT h, INT r, bool filter) {
-  while (true) {
-    INT cand = rng.uniform(g_ent_total);
-    if (!filter || !train_has_tail(h, r, cand)) return cand;
-  }
+Range head_range(INT t, INT r) {  // heads of (?, t, r) in g_train_trh
+  Triple a{-1, r, t}, b{(INT)1e18, r, t};
+  return {std::lower_bound(g_train_trh.data(),
+                           g_train_trh.data() + g_train_trh.size(), a, cmp_trh),
+          std::lower_bound(g_train_trh.data(),
+                           g_train_trh.data() + g_train_trh.size(), b, cmp_trh)};
 }
-INT corrupt_rel_slot(Xoshiro &rng, INT h, INT t, bool filter) {
-  while (true) {
-    INT cand = rng.uniform(g_rel_total);
-    if (!filter || !train_has_rel(h, t, cand)) return cand;
+Range rel_range(INT h, INT t) {   // rels of (h, t, ?) in g_train_htr
+  Triple a{h, -1, t}, b{h, (INT)1e18, t};
+  return {std::lower_bound(g_train_htr.data(),
+                           g_train_htr.data() + g_train_htr.size(), a, cmp_htr),
+          std::lower_bound(g_train_htr.data(),
+                           g_train_htr.data() + g_train_htr.size(), b, cmp_htr)};
+}
+
+// j-th value of [0, total) \ {member(range)} — range holds the SORTED,
+// UNIQUE existing values (uniqueness: triples are unique, one member
+// varies within a fixed key).
+template <typename Get>
+INT complement_pick(const Range &rg, INT j, Get get) {
+  INT lo = 0, hi = (INT)(rg.hi - rg.lo);
+  while (lo < hi) {
+    INT mid = (lo + hi) / 2;
+    if (get(rg.lo[mid]) - mid <= j)
+      lo = mid + 1;
+    else
+      hi = mid;
   }
+  return j + lo;
+}
+
+INT draw_corrupt_head(Xoshiro &rng, const Range &rg, bool filter) {
+  if (!filter) return rng.uniform(g_ent_total);
+  INT m = (INT)(rg.hi - rg.lo);
+  INT j = rng.uniform(g_ent_total - m);
+  return complement_pick(rg, j, [](const Triple &t) { return t.h; });
+}
+INT draw_corrupt_tail(Xoshiro &rng, const Range &rg, bool filter) {
+  if (!filter) return rng.uniform(g_ent_total);
+  INT m = (INT)(rg.hi - rg.lo);
+  INT j = rng.uniform(g_ent_total - m);
+  return complement_pick(rg, j, [](const Triple &t) { return t.t; });
+}
+INT corrupt_rel_slot(Xoshiro &rng, const Range &rg, bool filter) {
+  if (!filter) return rng.uniform(g_rel_total);
+  INT m = (INT)(rg.hi - rg.lo);
+  INT j = rng.uniform(g_rel_total - m);
+  return complement_pick(rg, j, [](const Triple &t) { return t.r; });
 }
 
 struct SampleJob {
@@ -226,33 +272,44 @@ void sample_range(const SampleJob &j, INT lo, INT hi, Xoshiro &rng) {
     j.t[i] = tr.t;
     j.r[i] = tr.r;
     if (j.y) j.y[i] = 1;
+    // Bernoulli side choice: p(corrupt head) = lef/(lef+rig), matching the
+    // reference's EXECUTED Base.so (measured head-to-head; the repo's
+    // unused Python fallback DATA_/PyTorchTrainDataLoader.py:167 has the
+    // two sides flipped relative to its own Base.so — documented quirk).
     double prob = 0.5;
     if (g_bern && g_lef_mean[tr.r] + g_rig_mean[tr.r] > 0)
-      prob = g_rig_mean[tr.r] / (g_rig_mean[tr.r] + g_lef_mean[tr.r]);
+      prob = g_lef_mean[tr.r] / (g_rig_mean[tr.r] + g_lef_mean[tr.r]);
+    Range hr{nullptr, nullptr}, trg{nullptr, nullptr};
+    bool need_head = j.mode != 1, need_tail = j.mode != -1;
+    if (j.filter && need_head) hr = head_range(tr.t, tr.r);
+    if (j.filter && need_tail) trg = tail_range(tr.h, tr.r);
     for (INT k = 0; k < j.neg_ent; k++) {
       INT idx = j.batch * (k + 1) + i;
       INT nh = tr.h, nt = tr.t;
       if (j.mode == 0) {
         if (rng.real() < prob)
-          nh = draw_corrupt_head(rng, tr.t, tr.r, j.filter);
+          nh = draw_corrupt_head(rng, hr, j.filter);
         else
-          nt = draw_corrupt_tail(rng, tr.h, tr.r, j.filter);
+          nt = draw_corrupt_tail(rng, trg, j.filter);
       } else if (j.mode == -1) {  // head_batch
-        nh = draw_corrupt_head(rng, tr.t, tr.r, j.filter);
+        nh = draw_corrupt_head(rng, hr, j.filter);
       } else {  // tail_batch
-        nt = draw_corrupt_tail(rng, tr.h, tr.r, j.filter);
+        nt = draw_corrupt_tail(rng, trg, j.filter);
       }
       j.h[idx] = nh;
       j.t[idx] = nt;
       j.r[idx] = tr.r;
       if (j.y) j.y[idx] = 0;
     }
-    for (INT k = 0; k < j.neg_rel; k++) {
-      INT idx = j.batch * (1 + j.neg_ent + k) + i;
-      j.h[idx] = tr.h;
-      j.t[idx] = tr.t;
-      j.r[idx] = corrupt_rel_slot(rng, tr.h, tr.t, j.filter);
-      if (j.y) j.y[idx] = 0;
+    if (j.neg_rel > 0) {
+      Range rr = j.filter ? rel_range(tr.h, tr.t) : Range{nullptr, nullptr};
+      for (INT k = 0; k < j.neg_rel; k++) {
+        INT idx = j.batch * (1 + j.neg_ent + k) + i;
+        j.h[idx] = tr.h;
+        j.t[idx] = tr.t;
+        j.r[idx] = corrupt_rel_slot(rng, rr, j.filter);
+        if (j.y) j.y[idx] = 0;
+      }
     }
   }
 }
@@ -395,6 +452,14 @@ struct SamplerPool {
     {
       std::lock_guard<std::mutex> lk(mu);
       shutdown = false;
+      // Workers spawn with seen=0; a persisting generation from a finished
+      // job would make their wait predicate instantly true and re-execute
+      // the stale job through its (possibly freed) caller buffers. stop()
+      // guarantees no job is in flight, so resetting the dispatch state
+      // here is safe.
+      generation = 0;
+      active = 0;
+      remaining = 0;
     }
     for (INT w = 0; w < n; w++)
       workers.emplace_back([this, w] { worker_main(w); });
@@ -586,15 +651,15 @@ void getTestBatch(INT *ph, INT *pt, INT *pr, INT *nh, INT *nt, INT *nr) {
     ph[i] = tr.h;
     pt[i] = tr.t;
     pr[i] = tr.r;
-    double prob = 0.5;
+    double prob = 0.5;  // bern side matches Base.so (see sample_range)
     if (g_bern && g_lef_mean[tr.r] + g_rig_mean[tr.r] > 0)
-      prob = g_rig_mean[tr.r] / (g_rig_mean[tr.r] + g_lef_mean[tr.r]);
+      prob = g_lef_mean[tr.r] / (g_rig_mean[tr.r] + g_lef_mean[tr.r]);
     if (rng.real() < prob) {
-      nh[i] = draw_corrupt_head(rng, tr.t, tr.r, true);
+      nh[i] = draw_corrupt_head(rng, head_range(tr.t, tr.r), true);
       nt[i] = tr.t;
     } else {
       nh[i] = tr.h;
-      nt[i] = draw_corrupt_tail(rng, tr.h, tr.r, true);
+      nt[i] = draw_corrupt_tail(rng, tail_range(tr.h, tr.r), true);
     }
     nr[i] = tr.r;
   }

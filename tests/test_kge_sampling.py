@@ -52,21 +52,24 @@ def test_negatives_are_filtered(store):
 
 
 def test_bernoulli_probability_direction():
-    """A 1-to-many relation should corrupt heads more often than tails."""
+    """A 1-to-N relation corrupts the HEAD (the safe side: only one valid
+    head exists, so a random head is almost surely a true negative) — the
+    TransH bern rule as Base.so executes it (tools/race_base_so.py)."""
     n_ent = 50
     heads = np.zeros(40, np.int64)  # head 0 -> many tails (1-to-N)
     tails = np.arange(1, 41, dtype=np.int64)
     rels = np.zeros(40, np.int64)
     store = TripleStore(heads, tails, rels, n_ent, 1)
-    # rig_mean = 40/40=1, lef_mean = 40/1=40 -> p(corrupt head) = 1/41
-    assert store.rig_mean[0] / (store.rig_mean[0] + store.lef_mean[0]) < 0.05
+    # rig_mean(hpt) = 40/40=1, lef_mean(tph) = 40/1=40
+    # -> p(corrupt head) = 40/41
+    assert store.lef_mean[0] / (store.rig_mean[0] + store.lef_mean[0]) > 0.95
     s = NegativeSampler(store, batch_size=40, neg_ent=10, neg_rel=0, bern=True, seed=3)
     batch = next(iter(s))
     h = batch["batch_h"].reshape(11, 40)
     t = batch["batch_t"].reshape(11, 40)
     head_corrupted = (h[1:] != h[0]).sum()
     tail_corrupted = (t[1:] != t[0]).sum()
-    assert tail_corrupted > head_corrupted * 5
+    assert head_corrupted > tail_corrupted * 5
 
 
 def test_cross_mode_alternates(store):

@@ -143,7 +143,9 @@ def test_native_metrics_match_python_eval(kg_dir):
 
 
 def test_native_bernoulli_direction(tmp_path):
-    """1-to-N relation corrupts heads (rarely tails) under bern."""
+    """1-to-N relation corrupts HEADS (the safe side) under bern — the
+    direction the reference's executed Base.so uses (verified in
+    tools/race_base_so.py; the repo's Python fallback spec flips it)."""
     train = [(0, t, 0) for t in range(1, 21)]
     d = tmp_path / "bern"
     write_openke_dir(d, train)
@@ -152,10 +154,10 @@ def test_native_bernoulli_direction(tmp_path):
     batch = loader.sample_normal()
     h = batch["batch_h"].reshape(11, 20)
     t = batch["batch_t"].reshape(11, 20)
-    # rig_mean=20/20=1, lef_mean=20/1=20 -> p(corrupt head) small
+    # rig_mean(hpt)=1, lef_mean(tph)=20 -> p(corrupt head) = 20/21
     head_corrupted = (h[1:] != h[0]).sum()
     tail_corrupted = (t[1:] != t[0]).sum()
-    assert tail_corrupted > head_corrupted * 5
+    assert head_corrupted > tail_corrupted * 5
 
 
 def test_classification_batch(kg_dir):
@@ -188,3 +190,30 @@ def test_persistent_pool_resize_and_reuse(kg_dir):
         assert h.max() < N_ENT and r.max() < N_REL
         for i in range(16):
             assert (int(h[0, i]), int(t[0, i]), int(r[0, i])) in key
+
+
+def test_pool_resize_does_not_touch_previous_buffers(kg_dir):
+    """ADVICE r2 (medium): respawned pool workers must not re-execute the
+    stale job. Before the fix, resize() preserved the pool-level generation
+    counter while new workers started at seen=0, so their wait predicate was
+    instantly true and they re-ran the previous loader's SampleJob — writing
+    through that loader's (possibly freed) numpy buffers. Observable effect:
+    the old loader's arrays change during the new loader's first sampling
+    call. kgsampler.cpp resize() now resets generation/active/remaining."""
+    import time
+
+    d, train, *_ = kg_dir
+    a = NativeTrainLoader(str(d), batch_size=16, neg_ent=3, neg_rel=3,
+                          bern_flag=True, threads=8)
+    for _ in range(3):
+        a.sample_normal()
+    snap = {k: a.__dict__[k].copy()
+            for k in ("batch_h", "batch_t", "batch_r", "batch_y")}
+    # different thread count -> stop() + respawn inside the next sampling
+    b = NativeTrainLoader(str(d), batch_size=16, neg_ent=3, neg_rel=3,
+                          bern_flag=True, threads=5)
+    for _ in range(5):
+        b.sample_normal()
+    time.sleep(0.05)  # give any rogue stale-job writers time to land
+    for k, v in snap.items():
+        np.testing.assert_array_equal(a.__dict__[k], v)
