@@ -19,13 +19,24 @@ import os
 import jax
 
 
+def _int_or_float(token: str):
+    """pl.Trainer disambiguates limit_train_batches by Python type: int =
+    batch count, float = epoch fraction. Keep that distinction at argparse
+    time (ADVICE r2: a bare '1' must mean ONE batch, not the full epoch)."""
+    if any(c in token for c in ".eE"):
+        return float(token)
+    return int(token)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="TPU-native MKG analogy framework (MarT pipeline)"
     )
     # Basic (main.py:29-41)
     p.add_argument("--wandb", action="store_true", default=False,
-                   help="accepted for parity; logging always goes to JSONL/TB")
+                   help="also write a wandb-offline-format run directory "
+                        "(history/summary/config files) under log_dir/wandb "
+                        "(main.py:136-139 parity; no egress, so offline only)")
     p.add_argument("--litmodel_class", type=str, default="TransformerLitModel")
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--data_class", type=str, default="KGC")
@@ -50,7 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="16 -> bfloat16 activations on TPU (default already bf16)")
     p.add_argument("--num_workers", type=int, default=4,
                    help="accepted for parity; input pipeline is vectorized")
-    p.add_argument("--limit_train_batches", type=float, default=None)
+    p.add_argument("--limit_train_batches", type=_int_or_float, default=None,
+                   help="pl.Trainer semantics: an integer token is a batch "
+                        "COUNT (so '1' = one batch); only a token containing "
+                        "'.' in (0, 1] is a fraction of the epoch")
     # Data args (data_module.py:253-262)
     p.add_argument("--model_name_or_path", type=str, default="wordpiece-kg",
                    help="path to a vocab.txt/tokenizer dir, or 'wordpiece-kg' "
@@ -63,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=32)
     # Model args (models/model.py)
     p.add_argument("--pretrain", type=int, default=0)
+    p.add_argument("--pretrain_format", type=str, default="triple",
+                   choices=["triple", "analogy"],
+                   help="pretrain prompt format: 'triple' = the reference's "
+                        "link/relation-prediction prompts (processor.py:"
+                        "124-149); 'analogy' = MarKG pseudo-analogies in the "
+                        "fine-tune layout (TPU-native addition, data/"
+                        "prompt.py:build_pseudo_analogy_features)")
     # diagnostic ablation (models/vilbert.py VilBertConfig.ablate_img_to_txt)
     p.add_argument("--vilbert_ablate_img_to_txt", type=int, default=0)
     # LitModel args (lit_models/base.py + transformer.py)
@@ -89,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intermediate_size", type=int, default=None)
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of a few train steps")
+    p.add_argument("--fused_attention", type=int, default=None,
+                   choices=[0, 1],
+                   help="1 -> Pallas fused attention kernel, 0 -> XLA einsum "
+                        "path; default = models.common.USE_FUSED_ATTENTION "
+                        "(the configuration bench.py records)")
     p.add_argument("--host_gather", action="store_true", default=False,
                    help="gather image features on host per batch (reference-"
                         "style) instead of the device-resident table")
@@ -127,6 +153,11 @@ def main(argv=None):
     from ..train.trainer import MarTTrainer, TrainConfig
     from ..utils.logging import MetricLogger
 
+    if args.fused_attention is not None:
+        from ..models import common as _common
+
+        _common.set_fused_attention(bool(args.fused_attention))
+
     vocab_file = None
     if args.model_name_or_path and args.model_name_or_path != "wordpiece-kg":
         cand = os.path.join(args.model_name_or_path, "vocab.txt")
@@ -151,6 +182,7 @@ def main(argv=None):
         image_kind=kind,
         overwrite_cache=args.overwrite_cache,
         seed=args.seed,
+        pretrain_format=args.pretrain_format,
     )
     model = make_model(args, data.vocab.padded_vocab_size)
 
@@ -166,6 +198,7 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         grad_accum_steps=args.accumulate_grad_batches,
         pretrain=bool(args.pretrain),
+        analogy_pretrain=bool(args.pretrain) and args.pretrain_format == "analogy",
         seed=args.seed,
         check_val_every_n_epoch=args.check_val_every_n_epoch,
         profile_dir=os.path.join(args.log_dir, "profile") if args.profile else None,
@@ -174,7 +207,8 @@ def main(argv=None):
         # (lit_models/base.py:79-82) — resolved in MarTTrainer.fit
         limit_train_batches=args.limit_train_batches or None,
     )
-    logger = MetricLogger(args.log_dir)
+    logger = MetricLogger(args.log_dir, wandb=args.wandb,
+                          config=vars(args) if args.wandb else None)
     trainer = MarTTrainer(model, data.vocab, cfg, mesh=mesh, logger=logger)
     ckpt = Checkpointer(os.path.join(args.output_dir, "ckpt"))
 
@@ -262,10 +296,13 @@ def main(argv=None):
         train_feats, dev_feats, attach=attach, checkpointer=ckpt,
         init_params_fn=init_params_fn,
     )
-    # test with the best-hits10 checkpoint (main.py:157-159 parity)
+    # test with the best-hits10 checkpoint of THIS fit (main.py:157-159
+    # parity — pl loads best_model_path from the current run; a stale
+    # checkpoint directory from an older, differently-shaped run must not
+    # be picked up)
     params = state.params
-    if ckpt.latest_step() is not None:
-        params = ckpt.restore(like=params)
+    if ckpt.saved_steps:
+        params = ckpt.restore(step=ckpt.saved_steps[-1], like=params)
     test_metrics = trainer.evaluate(params, test_feats, attach=attach)
     logger.log(int(state.step), test_metrics, prefix="test/")
     print(test_metrics)

@@ -53,13 +53,19 @@ class TrainConfig:
     weight_decay: float = 0.01
     grad_accum_steps: int = 1
     pretrain: bool = False
+    # pseudo-analogy pretraining (TPU-native addition; data/prompt.py
+    # build_pseudo_analogy_features): fine-tune prompt geometry + losses,
+    # but the masked-entity decoder runs over the FULL MarKG entity range
+    # instead of the 2,063 analogy entities.
+    analogy_pretrain: bool = False
     seed: int = 7
     patience: int = 5
     check_val_every_n_epoch: int = 1
     log_every: int = 50
     max_grad_norm: Optional[float] = None
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 5..10
-    limit_train_batches: Optional[float] = None  # pl parity: fraction <=1 or count
+    # pl parity: float in (0,1] = epoch fraction; int = exact batch count
+    limit_train_batches: Optional[float] = None
 
 
 class TrainState(train_state.TrainState):
@@ -180,7 +186,7 @@ class MarTTrainer:
 
     def _model_inputs(self, batch, train: bool, image_table=None):
         cfg = self.config
-        if cfg.pretrain:
+        if cfg.pretrain and not cfg.analogy_pretrain:
             positions = batch["mask_idx"][:, None]
             boundary = None
         else:
@@ -204,16 +210,29 @@ class MarTTrainer:
         return inputs
 
     # ---------------------------------------------------------------- losses
+    def _answer_logits(self, params, trans_cls):
+        """Masked-entity decoder slice: the 2,063 analogy entities for
+        fine-tuning, the full MarKG entity range for pseudo-analogy
+        pretraining."""
+        v = self.vocab
+        if self.config.analogy_pretrain:
+            return self.model.apply(
+                params, trans_cls,
+                vocab_start=v.entity_id_st, vocab_end=v.entity_id_ed,
+                method=type(self.model).logits,
+            )
+        return self.model.apply(
+            params, trans_cls, vocab_ids=self.analogy_entity_ids,
+            method=type(self.model).logits,
+        )
+
     def _finetune_loss(self, params, batch, rng, image_table=None):
         cfg = self.config
         inputs = self._model_inputs(batch, train=True, image_table=image_table)
         trans = self.model.apply(
             params, **inputs, deterministic=False, rngs={"dropout": rng}
         )
-        logits = self.model.apply(
-            params, trans[:, 0], vocab_ids=self.analogy_entity_ids,
-            method=type(self.model).logits,
-        )
+        logits = self._answer_logits(params, trans[:, 0])
         ce = label_smoothing_cross_entropy(
             logits, batch["label"], cfg.label_smoothing
         )
@@ -255,7 +274,9 @@ class MarTTrainer:
     # ------------------------------------------------------------------ steps
     def _train_step(self, state: TrainState, batch, rng, image_table=None):
         rng = jax.random.fold_in(rng, state.step)
-        loss_fn = self._pretrain_loss if self.config.pretrain else self._finetune_loss
+        cfg = self.config
+        use_triple_pretrain = cfg.pretrain and not cfg.analogy_pretrain
+        loss_fn = self._pretrain_loss if use_triple_pretrain else self._finetune_loss
         grads, metrics = jax.grad(
             lambda p: loss_fn(p, batch, rng, image_table), has_aux=True
         )(state.params)
@@ -267,7 +288,7 @@ class MarTTrainer:
         v = self.vocab
         inputs = self._model_inputs(batch, train=False, image_table=image_table)
         trans = self.model.apply(params, **inputs, deterministic=True)
-        if self.config.pretrain:
+        if self.config.pretrain and not self.config.analogy_pretrain:
             logits = self.model.apply(
                 params, trans[:, 0],
                 vocab_start=v.entity_id_st, vocab_end=v.relation_id_ed,
@@ -285,10 +306,7 @@ class MarTTrainer:
             is_rel = batch["pre_type"] == 2
             return {"ranks": jnp.where(is_rel, rel_ranks, ent_ranks),
                     "is_rel": is_rel, "valid": batch["valid"]}
-        logits = self.model.apply(
-            params, trans[:, 0], vocab_ids=self.analogy_entity_ids,
-            method=type(self.model).logits,
-        )
+        logits = self._answer_logits(params, trans[:, 0])
         ranks = ranks_from_scores(logits, batch["label"])
         return {"ranks": ranks, "is_rel": jnp.zeros_like(ranks, bool),
                 "valid": batch["valid"]}
@@ -391,8 +409,9 @@ class MarTTrainer:
         )
         steps_per_epoch = len(train_it)
         limit_batches = cfg.limit_train_batches
-        if limit_batches and limit_batches <= 1.0:
-            # fractional limit (pl.Trainer accepts fractions, base.py:79-82)
+        if limit_batches and isinstance(limit_batches, float) and limit_batches <= 1.0:
+            # fractional limit — only FLOATS in (0, 1] are fractions; an int 1
+            # means exactly one batch (pl.Trainer semantics, base.py:79-82)
             limit_batches = max(1, int(steps_per_epoch * limit_batches))
         limit_batches = int(limit_batches) if limit_batches else None
         if limit_batches:

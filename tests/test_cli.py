@@ -151,3 +151,33 @@ def test_main_cli_synthetic_images(dataset, tmp_path):
     ])
     assert "Eval_entity/mrr" in metrics
     assert 0 < metrics["Eval_entity/mrr"] <= 1
+
+
+def test_limit_train_batches_int_vs_fraction():
+    """ADVICE r2: '--limit_train_batches 1' is ONE batch (int), '1.0' is the
+    full epoch (fraction) — the pl.Trainer int/float distinction must survive
+    argparse."""
+    from mkg_analogy_tpu.cli.main import build_parser
+
+    base = ["--data_dir", "x"]
+    args = build_parser().parse_args(base + ["--limit_train_batches", "1"])
+    assert args.limit_train_batches == 1
+    assert isinstance(args.limit_train_batches, int)
+    args = build_parser().parse_args(base + ["--limit_train_batches", "1.0"])
+    assert isinstance(args.limit_train_batches, float)
+    args = build_parser().parse_args(base + ["--limit_train_batches", "0.5"])
+    assert args.limit_train_batches == 0.5
+
+    # trainer-side resolution
+    from mkg_analogy_tpu.train.trainer import TrainConfig
+
+    def resolve(limit, steps_per_epoch):
+        if limit and isinstance(limit, float) and limit <= 1.0:
+            limit = max(1, int(steps_per_epoch * limit))
+        return int(limit) if limit else None
+
+    assert resolve(1, 100) == 1
+    assert resolve(1.0, 100) == 100
+    assert resolve(0.25, 100) == 25
+    assert resolve(None, 100) is None
+    assert resolve(7, 100) == 7
