@@ -58,6 +58,10 @@ class Checkpointer:
                 entry = (pending, errbox, worker)
                 Checkpointer._shared[self.directory] = entry
         self._pending, self._errbox, self._worker = entry
+        # Steps saved through THIS instance (pl.ModelCheckpoint tracks
+        # best_model_path per fit; a stale directory from an earlier run
+        # with a different architecture must not be auto-restored).
+        self.saved_steps: list = []
 
     def _drain(self, pending: "queue.Queue", errbox: list) -> None:
         while True:
@@ -67,8 +71,22 @@ class Checkpointer:
                 return
             step, params, metrics = item
             try:
-                self._mgr.save(step, args=ocp.args.StandardSave(params))
+                # A reused output directory can hold the SAME step number
+                # from an earlier run with a different architecture; orbax
+                # silently SKIPS (returns False) such a save, leaving a
+                # stale tree where this run believes it saved. Overwrite
+                # instead — pl.ModelCheckpoint's overwrite-by-name
+                # semantics (found driving the CLI against a reused
+                # output_dir).
+                if step in self._mgr.all_steps():
+                    self._mgr.delete(step)
+                saved = self._mgr.save(step, args=ocp.args.StandardSave(params))
                 self._mgr.wait_until_finished()
+                if not saved:
+                    raise RuntimeError(
+                        f"orbax skipped saving step {step} in "
+                        f"{self.directory}"
+                    )
                 if metrics is not None:
                     path = os.path.join(self.directory, f"metrics_{step}.json")
                     with open(path, "w") as f:
@@ -101,6 +119,7 @@ class Checkpointer:
             lambda x: x.copy() if hasattr(x, "copy") else x, params
         )
         self._pending.put((step, params, metrics))
+        self.saved_steps.append(step)
 
     def latest_step(self) -> Optional[int]:
         self.flush()

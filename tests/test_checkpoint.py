@@ -129,3 +129,31 @@ def test_async_save_error_surfaces(tmp_path):
     ckpt.save(1, {"w": Bad()})
     with pytest.raises(BaseException):
         ckpt.flush()
+
+
+def test_save_overwrites_stale_step(tmp_path):
+    """A reused output_dir can hold the SAME step number from an earlier,
+    differently-shaped run. orbax silently SKIPS such a save; the worker
+    must overwrite instead (pl.ModelCheckpoint overwrite-by-name
+    semantics — found driving the CLI against a reused output_dir)."""
+    import jax.numpy as jnp
+
+    from mkg_analogy_tpu.train.checkpoint import Checkpointer
+
+    d = str(tmp_path / "ckpt")
+    old = {"params": {"old_layer": jnp.ones((3,))}}
+    c1 = Checkpointer(d)
+    c1.save(3, old)
+    c1.close()
+
+    new_tree = {"params": {"brand_new": jnp.full((5,), 2.0)}}
+    c2 = Checkpointer(d)
+    c2.save(3, new_tree)
+    c2.flush()
+    assert c2.saved_steps == [3]
+    restored = c2.restore(step=3, like=new_tree)
+    assert "brand_new" in restored["params"]
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(restored["params"]["brand_new"]),
+                                  np.full((5,), 2.0, np.float32))
+    c2.close()
