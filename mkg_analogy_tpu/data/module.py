@@ -17,7 +17,11 @@ import numpy as np
 
 from .batching import BatchIterator
 from .images import RegionStore, open_store
-from .prompt import build_finetune_features, build_pretrain_features
+from .prompt import (
+    build_finetune_features,
+    build_pretrain_features,
+    build_pseudo_analogy_features,
+)
 from .readers import MARS, MarKG
 from .vocab import KGVocab, build_tokenizer
 
@@ -37,9 +41,11 @@ class KGCDataModule:
         image_kind: str = "pixels",  # "pixels" | "regions"
         overwrite_cache: bool = False,
         seed: int = 1,
+        pretrain_format: str = "triple",  # "triple" | "analogy"
     ):
         self.data_dir = data_dir
         self.pretrain = pretrain
+        self.pretrain_format = pretrain_format
         self.max_seq_length = max_seq_length
         self.cache_dir = cache_dir
         self.overwrite_cache = overwrite_cache
@@ -97,6 +103,8 @@ class KGCDataModule:
         )
         if self.pretrain:
             key += f"_S{self.seed}"  # seed drives pretrain modality draws
+            if self.pretrain_format != "triple":
+                key += f"_F{self.pretrain_format}"
         h = hashlib.sha256(key.encode()).hexdigest()[:12]
         return os.path.join(self.cache_dir, f"features_{key}_{h}.npz")
 
@@ -106,9 +114,15 @@ class KGCDataModule:
             with np.load(path) as z:
                 return {k: z[k] for k in z.files}
         if self.pretrain:
-            feats = build_pretrain_features(
-                self.markg, self.vocab, self.max_seq_length, seed=self.seed
-            )
+            if self.pretrain_format == "analogy":
+                feats = build_pseudo_analogy_features(
+                    self.markg, self.vocab, self.max_seq_length,
+                    seed=self.seed,
+                )
+            else:
+                feats = build_pretrain_features(
+                    self.markg, self.vocab, self.max_seq_length, seed=self.seed
+                )
         else:
             feats = build_finetune_features(
                 self.mars, self.vocab, split, self.max_seq_length

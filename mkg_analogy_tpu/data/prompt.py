@@ -95,6 +95,31 @@ class PromptBuilder:
 
     # ------------------------------------------------------------ finetune
     def encode_analogy(self, ex: AnalogyExample, mars: MARS) -> EncodedExample:
+        """MARS fine-tune example: label indexes the 2,063 analogy entities
+        (processor.py:760-761)."""
+        return self._encode_analogy_core(
+            ex,
+            label=mars.analogy_ent2id[ex.answer],
+            rel_label=mars.analogy_rel2id[ex.relation],
+        )
+
+    def encode_pseudo_analogy(self, ex: AnalogyExample) -> EncodedExample:
+        """MarKG pseudo-analogy pre-train example: the SAME prompt layout as
+        fine-tuning, but the label is the GLOBAL MarKG entity index of the
+        answer and rel_label the global relation index. This is a deliberate
+        TPU-native addition beyond the reference's single-triple pretrain
+        prompts (processor.py:124-149) — built to attack the measured
+        format-transfer gap (RESULTS.md 'Pretrain-transfer A/B': link-
+        prediction pretraining gives the analogy prompt zero head start)."""
+        return self._encode_analogy_core(
+            ex,
+            label=self.markg.ent2id[ex.answer],
+            rel_label=self.markg.rel2id[ex.relation],
+        )
+
+    def _encode_analogy_core(
+        self, ex: AnalogyExample, label: int, rel_label: int
+    ) -> EncodedExample:
         v = self.vocab
         ent2id, rel2id = self.markg.ent2id, self.markg.rel2id
         ent2text = self.markg.entity2text
@@ -141,7 +166,7 @@ class PromptBuilder:
         tt_arr[: len(tt)] = tt
 
         extras = dict(
-            rel_label=mars.analogy_rel2id[ex.relation],
+            rel_label=rel_label,
             sep_idx=np.array(sep_idx, dtype=np.int32),
             rel_idx=np.array(rel_positions, dtype=np.int32),
             q_head_idx=1,
@@ -155,7 +180,7 @@ class PromptBuilder:
             input_ids=input_ids,
             attention_mask=attn,
             token_type_ids=tt_arr,
-            label=mars.analogy_ent2id[ex.answer],
+            label=label,
             extras=extras,
         )
 
@@ -260,6 +285,59 @@ def build_finetune_features(
 ) -> Dict[str, np.ndarray]:
     pb = PromptBuilder(vocab, max_seq_length)
     return stack_features([pb.encode_analogy(ex, mars) for ex in mars.split(split)])
+
+
+def build_pseudo_analogy_features(
+    markg: MarKG,
+    vocab: KGVocab,
+    max_seq_length: int = 128,
+    seed: int = 1,
+    partners_per_triple: int = 2,
+) -> Dict[str, np.ndarray]:
+    """MarKG pseudo-analogies in the fine-tune prompt layout.
+
+    For every training triple (h, r, t), sample ``partners_per_triple``
+    other triples (h', r, t') of the SAME relation (h' != h) and emit the
+    analogy (h, t) :: (h', [MASK] -> t') with the standard mode draw
+    0.4 / 0.3 / 0.3 (processor.py:102 distribution parity). Labels are
+    global entity indices; the masked-entity objective + relaxation loss run
+    with the exact fine-tune geometry (sep_idx boundary, rel/q/a gather
+    positions). Deliberate extension of the reference's pretrain prompts
+    (processor.py:124-149) — see encode_pseudo_analogy."""
+    pb = PromptBuilder(vocab, max_seq_length)
+    rng = np.random.default_rng(seed)
+    by_rel: Dict[str, List[Tuple[str, str]]] = {}
+    for h, r, t in markg.triples:
+        if h in markg.ent2id and t in markg.ent2id and r in markg.rel2id:
+            by_rel.setdefault(r, []).append((h, t))
+    examples: List[EncodedExample] = []
+    for r, pairs in by_rel.items():
+        if len(pairs) < 2:
+            continue
+        n = len(pairs)
+        for i, (h, t) in enumerate(pairs):
+            for _ in range(partners_per_triple):
+                # partner with a DIFFERENT head — (h,t)::(h,t') is not an
+                # analogy, it is the same question twice
+                h2 = h
+                for _try in range(8):
+                    j = int(rng.integers(n - 1))
+                    j = j + (j >= i)  # uniform over pairs excluding self
+                    h2, t2 = pairs[j]
+                    if h2 != h:
+                        break
+                if h2 == h:
+                    continue
+                mode = int(rng.choice([0, 1, 2], p=[0.4, 0.3, 0.3]))
+                ex = AnalogyExample(head=h, tail=t, question=h2, answer=t2,
+                                    relation=r, mode=mode)
+                examples.append(pb.encode_pseudo_analogy(ex))
+    feats = stack_features(examples)
+    n_ent = vocab.entity_id_ed - vocab.entity_id_st
+    bad = (feats["label"] < 0) | (feats["label"] >= n_ent)
+    if bad.any():
+        raise ValueError(f"{int(bad.sum())} labels outside [0, {n_ent})")
+    return feats
 
 
 def build_pretrain_features(

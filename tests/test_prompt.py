@@ -110,3 +110,35 @@ def test_batch_iterator_determinism_and_pad_tail(tiny):
     assert total_valid == n
     for b in batches:
         assert b["input_ids"].shape[0] == 4  # static shape incl. tail
+
+
+def test_pseudo_analogy_features(tiny):
+    """Pseudo-analogy pretraining (TPU-native addition): fine-tune prompt
+    geometry with global-entity labels, pairs drawn within each relation."""
+    from mkg_analogy_tpu.data.prompt import build_pseudo_analogy_features
+
+    markg, mars, vocab = tiny
+    feats = build_pseudo_analogy_features(markg, vocab, max_seq_length=64,
+                                          seed=3, partners_per_triple=2)
+    n = feats["input_ids"].shape[0]
+    assert n > 0
+    ids = feats["input_ids"]
+    # fine-tune geometry: exactly one [MASK], six [SEP]s, two [R]s
+    assert ((ids == vocab.mask_id).sum(axis=1) == 1).all()
+    assert feats["sep_idx"].shape == (n, 2 * 3)
+    assert feats["rel_idx"].shape == (n, 2)
+    # labels are GLOBAL entity ids (not analogy-entity indices)
+    assert (feats["label"] >= 0).all()
+    assert (feats["label"] < markg.num_entities).all()
+    # the boundary used by the adaptive mask is the third [SEP]
+    b = np.arange(n)
+    assert (ids[b, feats["sep_idx"][:, 2]] == vocab.sep_id).all()
+    # both [R] positions hold the [R] token
+    assert (ids[b, feats["rel_idx"][:, 0]] == vocab.r_token_id).all()
+    assert (ids[b, feats["rel_idx"][:, 1]] == vocab.r_token_id).all()
+    # every example's question head differs from the example head
+    qh = ids[b, feats["q_head_idx"]]
+    ah = ids[b, feats["a_head_idx"]]
+    assert (qh != ah).all()
+    # modes follow the 0/1/2 scheme with all three present
+    assert set(np.unique(feats["mode"])) <= {0, 1, 2}
