@@ -31,8 +31,10 @@ def get_activation(name: str) -> Callable:
 # Attention lowering: False -> XLA einsum path (reference-identical math);
 # True -> the Pallas fused kernel (kernels/attention.py) which folds the
 # score multiplier + padding bias + softmax + dropout + V contraction into
-# one kernel. Enabled on the TPU hot path (bench/CLI); CPU tests exercise
-# the kernel via interpret mode in tests/test_fused_attention.py.
+# one kernel operating on the packed (B, L, heads*d) projection layout.
+# Toggled by --fused_attention in the CLI and measured by tools/bench_opts;
+# the default recorded here is what bench.py uses. CPU tests exercise the
+# kernel via interpret mode in tests/test_fused_attention.py.
 USE_FUSED_ATTENTION = False
 FUSED_INTERPRET = False  # interpret-mode kernel (CPU testing)
 
@@ -186,13 +188,18 @@ class AttentionCore(nn.Module):
     def _fused(self, q, k, v, attention_bias, analogy, deterministic):
         from ..kernels.attention import fused_attention
 
-        # kernel convention is (B, heads, L, d)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        lk = k.shape[2]
+        # kernel convention is the packed (B, L, heads*d) layout — exactly
+        # what the projection GEMMs produce, so no transpose/relayout is
+        # ever materialized (the einsum path costs ~466 MB/step of layout
+        # copies at B=32; this path costs zero).
+        b, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
+        inner = self.num_heads * self.head_dim
+        q = q.reshape(b, lq, inner)
+        k = k.reshape(b, lk, inner)
+        v = v.reshape(b, lk, inner)
         if attention_bias is None:
-            mask = jnp.ones((q.shape[0], lk), jnp.float32)
+            mask = jnp.ones((b, lk), jnp.float32)
         else:
             # bias is 0 / -10000 of shape (B, 1, 1, Lk) everywhere in this
             # codebase (ops/masks.attention_bias + the extra_kv concat)
@@ -211,7 +218,7 @@ class AttentionCore(nn.Module):
                 kwargs = dict(
                     boundary=boundary, w0=jnp.clip(w0, 0.0, 0.5),
                     w1=jnp.clip(w1, 0.5, 1.0), row_start=row_start,
-                    text_len=q.shape[2] if text_len is None else text_len,
+                    text_len=lq if text_len is None else text_len,
                     offset=0,
                 )
         rate = float(self.dropout_rate)
@@ -221,12 +228,12 @@ class AttentionCore(nn.Module):
                 self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
             )
         ctx = fused_attention(
-            q, k, v, mask,
+            q, k, v, mask, self.num_heads,
             dropout_rate=rate, deterministic=deterministic,
             dropout_seed=seed, compute_dtype=self.dtype,
             interpret=FUSED_INTERPRET, **kwargs,
         )
-        return ctx.transpose(0, 2, 1, 3)  # back to (B, L, heads, d)
+        return ctx.reshape(b, lq, self.num_heads, self.head_dim)
 
 
 def gather_positions(seq: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:

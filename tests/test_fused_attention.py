@@ -1,8 +1,7 @@
 """Pallas fused attention (kernels/attention.py) vs the einsum reference
 path: forward and gradient equivalence in interpret mode (CPU), across the
-mask geometries the models use."""
-
-import functools
+mask geometries the models use. The kernel convention is the packed
+(B, L, heads*d) layout of the projection GEMMs."""
 
 import jax
 import jax.numpy as jnp
@@ -12,10 +11,19 @@ import pytest
 from mkg_analogy_tpu.kernels.attention import fused_attention
 from mkg_analogy_tpu.ops.masks import analogy_score_multiplier, attention_bias
 
+H, D = 3, 8  # heads, head_dim used throughout
+
+
+def unpack(x):
+    """(B, L, H*D) -> (B, H, L, D)"""
+    b, l, _ = x.shape
+    return x.reshape(b, l, H, D).transpose(0, 2, 1, 3)
+
 
 def einsum_reference(q, k, v, mask, boundary=None, w0=None, w1=None,
                      row_start=0, text_len=None, offset=0):
-    """The AttentionCore einsum path, standalone."""
+    """The AttentionCore einsum path, standalone, on packed inputs."""
+    q, k, v = unpack(q), unpack(k), unpack(v)
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
@@ -27,14 +35,16 @@ def einsum_reference(q, k, v, mask, boundary=None, w0=None, w1=None,
         scores = scores * mult.astype(scores.dtype)
     scores = scores + attention_bias(mask).astype(scores.dtype)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    b, h, l, d = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
-def make_inputs(b=2, h=3, lq=12, lk=12, d=8, seed=0, dtype=jnp.float32):
+def make_inputs(b=2, lq=12, lk=12, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), dtype)
-    k = jnp.asarray(rng.standard_normal((b, h, lk, d)), dtype)
-    v = jnp.asarray(rng.standard_normal((b, h, lk, d)), dtype)
+    q = jnp.asarray(rng.standard_normal((b, lq, H * D)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, lk, H * D)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, lk, H * D)), dtype)
     mask = np.ones((b, lk), np.float32)
     mask[:, lk - 2:] = 0.0
     return q, k, v, jnp.asarray(mask)
@@ -59,7 +69,7 @@ def test_forward_matches_einsum(case):
         kwargs["w0"] = jnp.asarray([0.3])
         kwargs["w1"] = jnp.asarray([0.7])
     want = einsum_reference(q, k, v, mask, **kwargs)
-    got = fused_attention(q, k, v, mask, deterministic=True,
+    got = fused_attention(q, k, v, mask, H, deterministic=True,
                           compute_dtype=jnp.float32, interpret=True, **kwargs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
@@ -76,8 +86,9 @@ def test_grads_match_einsum():
         return jnp.sum(out * jnp.cos(out))
 
     def loss_fused(q, k, v, w0, w1):
-        out = fused_attention(q, k, v, mask, boundary=boundary, w0=w0, w1=w1,
-                              row_start=1, text_len=10, deterministic=True,
+        out = fused_attention(q, k, v, mask, H, boundary=boundary, w0=w0,
+                              w1=w1, row_start=1, text_len=10,
+                              deterministic=True,
                               compute_dtype=jnp.float32, interpret=True)
         return jnp.sum(out * jnp.cos(out))
 
@@ -94,7 +105,7 @@ def test_cross_length_kv():
     q, _, _, _ = make_inputs(lq=9, lk=9)
     _, k, v, mask = make_inputs(lq=20, lk=20, seed=5)
     want = einsum_reference(q, k, v, mask)
-    got = fused_attention(q, k, v, mask, deterministic=True,
+    got = fused_attention(q, k, v, mask, H, deterministic=True,
                           compute_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
@@ -102,16 +113,15 @@ def test_cross_length_kv():
 def test_attention_core_fused_flag_equivalence():
     """The full AttentionCore module produces the same output with the
     fused kernel (interpret) as with the einsum path."""
-    from flax import linen as nn
-
     from mkg_analogy_tpu.models import common
+    from mkg_analogy_tpu.ops.masks import attention_bias as ab
 
-    B, L, H, D = 2, 12, 2, 8
+    B, L = 2, 12
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((B, L, H * D)), jnp.float32)
     mask = np.ones((B, L), np.float32)
     mask[:, 10:] = 0
-    bias = attention_bias(jnp.asarray(mask))
+    bias = ab(jnp.asarray(mask))
     core = common.AttentionCore(num_heads=H, head_dim=D, dtype=jnp.float32)
     analogy = (jnp.asarray([4, 6]), jnp.asarray([0.25]), jnp.asarray([0.6]),
                0, None, 0)

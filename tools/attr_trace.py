@@ -23,6 +23,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--fused", action="store_true",
+                    help="trace with the Pallas fused attention kernel")
     ap.add_argument("--fwdonly", action="store_true")
     ap.add_argument("--out", default="/tmp/mkg_attr")
     ap.add_argument("--top", type=int, default=40)
@@ -32,6 +34,10 @@ def main():
     from mkg_analogy_tpu.core.mesh import make_mesh
     from mkg_analogy_tpu.models.unimo import TextConfig, UnimoConfig, UnimoForMaskedLM
     from mkg_analogy_tpu.train.trainer import MarTTrainer, TrainConfig
+
+    if args.fused:
+        from mkg_analogy_tpu.models import common
+        common.set_fused_attention(True)
 
     vocab_size, n_analogy = 19712, 2063
 
