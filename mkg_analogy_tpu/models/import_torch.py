@@ -45,11 +45,18 @@ def _dense(sd, prefix) -> Dict[str, np.ndarray]:
 
 
 def unimo_params_from_reference(sd: Dict[str, Any], num_layers: int = 12,
-                                vocab_rows: int = None) -> Dict[str, Any]:
+                                vocab_rows: int = None,
+                                fusion_start: int = 8) -> Dict[str, Any]:
     """Reference UnimoForMaskedLM state_dict -> flax params dict.
 
     ``vocab_rows``: target vocab size of the flax table; the torch rows are
     copied into the top and extra (padding) rows stay zero.
+
+    ``fusion_start``: the reference instantiates ``fusion_dense`` in EVERY
+    BertIntermediate (modeling_unimo.py:452) but only layers
+    idx >= fusion_start ever call it (modeling_unimo.py:609-643); the flax
+    model materializes the params only where used, so the dead pre-fusion
+    copies in the checkpoint are deliberately dropped here.
     """
     sd = {k: v for k, v in sd.items()}
     word = np.asarray(sd["unimo.text_embeddings.word_embeddings.weight"])
@@ -125,16 +132,19 @@ def unimo_params_from_reference(sd: Dict[str, Any], num_layers: int = 12,
             },
             "attn_ln": _ln(sd, f"{tp}.attention.output.LayerNorm"),
             "intermediate": _dense(sd, f"{tp}.intermediate.dense"),
-            "fusion_dense": _dense(sd, f"{tp}.intermediate.fusion_dense"),
             "output": _dense(sd, f"{tp}.output.dense"),
             "out_ln": _ln(sd, f"{tp}.output.LayerNorm"),
         }
+        if i >= fusion_start:
+            enc[f"text_{i}"]["fusion_dense"] = _dense(
+                sd, f"{tp}.intermediate.fusion_dense"
+            )
     return {"params": params}
 
 
 def unimo_params_from_bert_clip(
     bert_sd: Dict[str, Any], clip_vision_sd: Dict[str, Any],
-    num_layers: int = 12, vocab_rows: int = None,
+    num_layers: int = 12, vocab_rows: int = None, fusion_start: int = 8,
 ) -> Dict[str, Any]:
     """BERT encoder + CLIP vision-tower state_dicts -> flax params
     (the MarT/main.py:90-109 surgery, name-mapped directly)."""
@@ -177,7 +187,8 @@ def unimo_params_from_bert_clip(
         merged.setdefault(f"{tp}.intermediate.fusion_dense.bias",
                           np.zeros_like(np.asarray(
                               merged[f"{tp}.intermediate.dense.bias"])))
-    return unimo_params_from_reference(merged, num_layers, vocab_rows)
+    return unimo_params_from_reference(merged, num_layers, vocab_rows,
+                                       fusion_start=fusion_start)
 
 
 # --------------------------------------------------------------------------

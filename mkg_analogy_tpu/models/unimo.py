@@ -272,8 +272,11 @@ class BertLayer(nn.Module):
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(
             attn_out
         )
-        # fusion_dense exists in every layer for checkpoint-shape parity but
-        # only contributes when vision fusion flows (idx >= fusion_start).
+        # The reference instantiates fusion_dense in every BertIntermediate
+        # (modeling_unimo.py:452) but only layers idx >= fusion_start call
+        # it; flax materializes params lazily, so pre-fusion layers carry
+        # none — the converters bridge the key surface (import drops the
+        # reference's dead copies, export emits zeros for them).
         fusion_proj = nn.Dense(
             cfg.intermediate_size, dtype=self.dtype, name="fusion_dense"
         )

@@ -97,7 +97,7 @@ def models():
     flax_model = UnimoForMaskedLM(cfg)
     params = unimo_params_from_reference(
         {k: v.detach().numpy() for k, v in ref.state_dict().items()},
-        num_layers=3,
+        num_layers=3, fusion_start=1,
     )
     return ref, flax_model, params
 
@@ -265,7 +265,7 @@ def test_export_roundtrip_and_torch_load(models):
 
     sd = unimo_params_to_reference(params, num_layers=3)
     # (a) roundtrip: export -> import reproduces the flax tree exactly
-    back = unimo_params_from_reference(sd, num_layers=3)
+    back = unimo_params_from_reference(sd, num_layers=3, fusion_start=1)
     import jax
 
     flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
