@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gpus", type=str, default=None,
                    help="ignored on TPU; accepted for script parity")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--track_grad_norm", type=int, default=-1,
+                   help="pl.Trainer parity: -1 (default) = no grad-norm "
+                        "metric; any other value logs the global L2 norm "
+                        "(costs a full HBM pass over all grads per step)")
     p.add_argument("--check_val_every_n_epoch", type=int, default=1)
     p.add_argument("--precision", type=int, default=32,
                    help="16 -> bfloat16 activations on TPU (default already bf16)")
@@ -200,6 +204,7 @@ def main(argv=None):
         pretrain=bool(args.pretrain),
         analogy_pretrain=bool(args.pretrain) and args.pretrain_format == "analogy",
         seed=args.seed,
+        track_grad_norm=args.track_grad_norm != -1,
         check_val_every_n_epoch=args.check_val_every_n_epoch,
         profile_dir=os.path.join(args.log_dir, "profile") if args.profile else None,
         # pl.Trainer semantics: a fraction <= 1.0 limits to that share of
@@ -251,6 +256,41 @@ def main(argv=None):
         with mesh:
             table = jax.jit(
                 _make_table, out_shardings=NamedSharding(mesh, P())
+            )()
+        trainer.set_image_table(table, kind=kind)
+        attach = None
+    elif args.image_features in ("synthetic", "synthetic_noise") and kind == "regions":
+        # Region-path identity-signal ablation (VisualBERT/ViLBERT) —
+        # mirror of the pixel ablation above, in detector-feature space
+        # (data_module.py:129-159 region collation, modeling_visual_bert.py:72
+        # embeddings). "synthetic": each entity's 36 regions carry the SAME
+        # per-entity 2048-d Gaussian code (rank-1, the cleanest structured
+        # identity — the region projection reads it in one linear map).
+        # "synthetic_noise": iid Gaussians per (entity, region, dim) — the
+        # high-frequency control arm. (11293, 36, 2048) bf16 = 1.7 GB,
+        # built on device.
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..data.images import RegionStore
+
+        n = data.markg.num_entities
+        n_reg, d_reg = RegionStore.num_regions, RegionStore.feat_dim
+
+        def _make_region_table():
+            key = jax.random.PRNGKey(271828)
+            if args.image_features == "synthetic_noise":
+                g = jax.random.normal(key, (n, n_reg, d_reg), jnp.bfloat16)
+            else:
+                code = jax.random.normal(key, (n, 1, d_reg), jnp.bfloat16)
+                g = jnp.broadcast_to(code, (n, n_reg, d_reg))
+            return jnp.concatenate(
+                [g, jnp.zeros((1, n_reg, d_reg), jnp.bfloat16)], axis=0
+            )
+
+        with mesh:
+            table = jax.jit(
+                _make_region_table, out_shardings=NamedSharding(mesh, P())
             )()
         trainer.set_image_table(table, kind=kind)
         attach = None
