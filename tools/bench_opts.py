@@ -75,6 +75,121 @@ def patch_convpatch():
     common.PATCH_EMBED_IMPL = "conv"
 
 
+def patch_nognorm():
+    """Drop the per-step optax.global_norm(grads) metric — a full extra
+    HBM pass over every gradient (~680 MB/step). pl does not compute
+    grad norms unless --track_grad_norm is set."""
+    from mkg_analogy_tpu.train import trainer as tr
+
+    def _train_step(self, state, batch, rng, image_table=None):
+        import jax as _jax
+        rng = _jax.random.fold_in(rng, state.step)
+        cfg = self.config
+        use_triple = cfg.pretrain and not cfg.analogy_pretrain
+        loss_fn = self._pretrain_loss if use_triple else self._finetune_loss
+        grads, metrics = _jax.grad(
+            lambda p: loss_fn(p, batch, rng, image_table), has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, metrics
+
+    tr.MarTTrainer._train_step = _train_step
+
+
+def patch_bf16stage(keep_gnorm=True):
+    """Cast >=2-D float32 params to bf16 ONCE, outside jax.grad, so every
+    GEMM stages bf16 weights into VMEM (half the DMA bytes of the f32
+    staging XLA does today). Numerically identical on the matmul path —
+    Dense already casts params to bf16 at each use site."""
+    from mkg_analogy_tpu.train import trainer as tr
+
+    def _train_step(self, state, batch, rng, image_table=None):
+        import jax as _jax
+        rng = _jax.random.fold_in(rng, state.step)
+        cfg = self.config
+        use_triple = cfg.pretrain and not cfg.analogy_pretrain
+        loss_fn = self._pretrain_loss if use_triple else self._finetune_loss
+
+        def stage(x):
+            if x.ndim >= 2 and x.dtype == jnp.float32:
+                return x.astype(jnp.bfloat16)
+            return x
+
+        pbf = _jax.tree_util.tree_map(stage, state.params)
+        grads, metrics = _jax.grad(
+            lambda p: loss_fn(p, batch, rng, image_table), has_aux=True
+        )(pbf)
+        grads = _jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        if keep_gnorm:
+            import optax as _optax
+            metrics["grad_norm"] = _optax.global_norm(grads)
+        return new_state, metrics
+
+    tr.MarTTrainer._train_step = _train_step
+
+
+def patch_remat_save_probs():
+    """Attention remat alternative: save the (bf16) post-dropout probs
+    instead of recomputing the whole score chain in backward. Trades
+    ~300 MB/step of probs HBM traffic for the backward's recomputed
+    QK^T GEMM + softmax + dropout redraw."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    from mkg_analogy_tpu.models import common
+
+    def _einsum(self, q, k, v, attention_bias, analogy, deterministic):
+        rate = float(self.dropout_rate)
+        use_dropout = rate > 0.0 and not deterministic
+        key = self.make_rng("dropout") if use_dropout else None
+        row_start = text_len = offset = None
+        lq = q.shape[1]
+        if analogy is not None:
+            boundary, w0, w1, row_start, text_len, offset = analogy
+            analogy_arrs = (boundary, w0, w1)
+        else:
+            analogy_arrs = None
+
+        def core(q, k, v, attention_bias, analogy_arrs, key):
+            scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if analogy_arrs is not None:
+                from mkg_analogy_tpu.ops.masks import analogy_score_multiplier
+
+                boundary, w0, w1 = analogy_arrs
+                mult = analogy_score_multiplier(
+                    boundary, lq, w0, w1, text_len=text_len,
+                    row_start=row_start,
+                    compat_img_offset=offset if offset else None,
+                )
+                scores = scores * mult.astype(scores.dtype)
+            if attention_bias is not None:
+                scores = scores + attention_bias.astype(scores.dtype)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            if use_dropout:
+                b_, h_, lq_, lk_ = probs.shape
+                keep = jax.random.bernoulli(
+                    key, 1.0 - rate, (b_, h_, lk_, lq_)
+                ).swapaxes(-1, -2)
+                probs = jnp.where(
+                    keep, probs / (1.0 - rate), jnp.zeros_like(probs)
+                )
+            probs = checkpoint_name(probs, "attn_probs")
+            return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        core = jax.checkpoint(
+            core,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_probs"),
+        )
+        return core(q, k, v, attention_bias, analogy_arrs, key)
+
+    common.AttentionCore._einsum = _einsum
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -88,6 +203,17 @@ def main():
     if args.variant in ("fused", "fused+conv"):
         from mkg_analogy_tpu.models import common
         common.set_fused_attention(True)
+    if args.variant == "nognorm":
+        patch_nognorm()
+    if args.variant == "bf16stage":
+        patch_bf16stage(keep_gnorm=True)
+    if args.variant == "bf16stage+nognorm":
+        patch_bf16stage(keep_gnorm=False)
+    if args.variant == "remat_probs":
+        patch_remat_save_probs()
+    if args.variant == "remat_probs+bf16stage+nognorm":
+        patch_remat_save_probs()
+        patch_bf16stage(keep_gnorm=False)
 
     from __graft_entry__ import _synthetic_batch
     from mkg_analogy_tpu.core.mesh import make_mesh
@@ -112,6 +238,16 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), batch, total_steps=1000)
     step = jax.jit(trainer._train_step, donate_argnums=0)
     rng = jax.random.PRNGKey(1)
+    if args.variant.startswith("vmem"):
+        # scoped-VMEM limit via per-compile options (XLA_FLAGS is rejected
+        # by the axon client); larger scratch budget -> deeper weight
+        # prefetch pipelining
+        kib = args.variant[4:] or "65536"
+        with mesh:
+            db0 = trainer._put_batch(batch)
+            step = step.lower(state, db0, rng).compile(
+                compiler_options={"xla_tpu_scoped_vmem_limit_kib": kib}
+            )
     with mesh:
         db = trainer._put_batch(batch)
         for _ in range(5):
