@@ -38,6 +38,13 @@ def get_activation(name: str) -> Callable:
 USE_FUSED_ATTENTION = False
 FUSED_INTERPRET = False  # interpret-mode kernel (CPU testing)
 
+# Bench-only experiment: project Q/K/V with one (H, 3*inner) GEMM instead
+# of three (H, inner) GEMMs. Changes the param tree ("qkv" replaces
+# query/key/value) so it is NOT checkpoint/converter compatible — toggled
+# by tools/bench_opts.py to measure the MXU-dispatch saving before any
+# productization.
+USE_FUSED_QKV = False
+
 
 def set_fused_attention(enabled: bool, interpret: bool = False) -> None:
     global USE_FUSED_ATTENTION, FUSED_INTERPRET
@@ -90,9 +97,15 @@ class AttentionCore(nn.Module):
         def split_heads(x):
             return x.reshape(b, l, self.num_heads, self.head_dim)
 
-        q = split_heads(proj("query"))
-        k = split_heads(proj("key"))
-        v = split_heads(proj("value"))
+        if USE_FUSED_QKV:
+            qkv = nn.Dense(3 * inner, dtype=self.dtype, name="qkv")(
+                hidden_states
+            )
+            q, k, v = (split_heads(x) for x in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = split_heads(proj("query"))
+            k = split_heads(proj("key"))
+            v = split_heads(proj("value"))
         kv_out = (k, v) if output_kv else None
 
         if extra_kv is not None:

@@ -2,25 +2,25 @@
 GEMM shapes of the flagship train step.
 
 The step-anatomy MFU numbers (tools/attr_trace.py, RESULTS.md) divide by
-the v5e datasheet peak (197 TFLOP/s bf16). This tool measures what the
-hardware actually sustains per shape, using the **device profiler** for
-timing. Wall-clock timing is untrustworthy here: on the axon tunnel
-backend `jax.block_until_ready` does not await device completion (an
-un-donated 8192^3 GEMM loop "benchmarks" at 69 PFLOP/s), and donated
-loops pay a per-dispatch host round-trip; the train-step benches stay
-honest only because their donated TrainState serializes dispatches at
-~25 steps/s where the RTT is amortized. Profiler event durations are
-device-side ground truth either way.
+the v5e datasheet peak (197 TFLOP/s bf16). This measures what the chip
+actually sustains per shape, with a method that survives the axon tunnel's
+timing quirks (`jax.block_until_ready` does not await device completion
+here, and the profiler drops chain events): each measurement jits a
+serial GEMM chain of length N via ``lax.fori_loop`` (every iteration
+consumes the previous output — XLA cannot parallelize or elide it), forces
+completion with a host readback of a reduction, and the per-GEMM time is
+taken **differentially** between two chain lengths so dispatch + tunnel
+RTT + readback cancel:
 
-  python tools/bench_matmul.py
+    t_per_gemm = (t(N2) - t(N1)) / (N2 - N1)
+
+  python tools/bench_matmul.py [--n1 100] [--n2 300] [--reps 3]
 """
 from __future__ import annotations
 
-import glob
-import gzip
+import argparse
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -33,11 +33,13 @@ from mkg_analogy_tpu.core.cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 # (M, K, N, tag) — the step's GEMM population (text tower M=32*128,
-# vision M=32*99; fwd/dgrad/wgrad orientations)
+# vision M=32*99; fwd/dgrad/wgrad orientations) + a large square anchor
 SHAPES = [
-    (8192, 8192, 8192, "square-peak"),
+    (4096, 4096, 4096, "square anchor"),
     (4096, 768, 768, "text qkv/out fwd"),
     (4096, 768, 3072, "text fc1 fwd"),
     (4096, 3072, 768, "text fc2 fwd"),
@@ -47,79 +49,62 @@ SHAPES = [
     (3168, 768, 3072, "vision fc1 fwd"),
 ]
 
-N_CHAIN = 8
-N_CALLS = 4
+
+def make_chain(m, k, n, length):
+    """Serial chain: out (m,k) @ b (k,n) -> (m,n), fold back to (m,k).
+    When n < k the fold pads with zeros; when n >= k it slices. Either way
+    iteration i+1 depends on iteration i's full output."""
+
+    @jax.jit
+    def run(out, b):
+        def body(_, out):
+            y = jnp.dot(out, b, preferred_element_type=jnp.float32)
+            y = (y * jnp.float32(1e-3)).astype(jnp.bfloat16)
+            if n >= k:
+                return y[:, :k]
+            return jnp.pad(y, ((0, 0), (0, k - n)))
+
+        return lax.fori_loop(0, length, body, out)
+
+    return run
 
 
-def device_dot_time_us(trace_dir):
-    tr = sorted(glob.glob(os.path.join(trace_dir, "**", "*.json.gz"),
-                          recursive=True))[-1]
-    with gzip.open(tr, "rt") as f:
-        data = json.load(f)
-    ev = data.get("traceEvents", [])
-    pids = {e["pid"]: e["args"].get("name", "") for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = [p for p, n in pids.items() if "TPU" in n]
-    total = 0.0
-    for e in ev:
-        if e.get("ph") == "X" and e.get("pid") in dev and "dur" in e:
-            n = e.get("name", "?")
-            if n.startswith(("fusion", "convolution", "dot", "%fusion")):
-                total += e["dur"]
-    return total
-
-
-def bench(m, k, n):
-    key = jax.random.PRNGKey(0)
-    a = jax.random.normal(key, (m, k), jnp.bfloat16)
-    b = jax.random.normal(key, (k, n), jnp.bfloat16)
-
-    if n >= k:
-        @jax.jit
-        def run(out, b):
-            for _ in range(N_CHAIN):
-                out = jnp.dot(out, b, preferred_element_type=jnp.float32)[
-                    :, :k
-                ].astype(jnp.bfloat16) * jnp.bfloat16(1e-3)
-            return out
-        n_gemms = N_CHAIN
-    else:
-        @jax.jit
-        def run(out, b):
-            for _ in range(N_CHAIN):
-                out = jnp.dot(out, b, preferred_element_type=jnp.float32).astype(
-                    jnp.bfloat16
-                ) * jnp.bfloat16(1e-3)
-                out = jnp.dot(out, b.T, preferred_element_type=jnp.float32).astype(
-                    jnp.bfloat16
-                ) * jnp.bfloat16(1e-3)
-            return out
-        n_gemms = 2 * N_CHAIN
-
-    import numpy as np
-
+def timed(run, a, b):
     out = run(a, b)
-    np.asarray(out[:1, :1])  # ensure compiled + executed
+    # host readback of a scalar forces the whole chain to completion
+    s = float(np.asarray(jnp.sum(out.astype(jnp.float32))))
+    t0 = time.perf_counter()
+    out = run(a, b)
+    s += float(np.asarray(jnp.sum(out.astype(jnp.float32))))
+    t1 = time.perf_counter()
+    assert np.isfinite(s)
+    return t1 - t0
 
-    trace_dir = f"/tmp/mkg_mm_trace_{m}x{k}x{n}"
-    shutil.rmtree(trace_dir, ignore_errors=True)
-    jax.profiler.start_trace(trace_dir)
-    out = a
-    for _ in range(N_CALLS):
-        out = run(out, b)
-    np.asarray(out[:1, :1])  # drain the device queue before stop_trace
-    jax.profiler.stop_trace()
 
-    us = device_dot_time_us(trace_dir)
-    flops = 2.0 * m * k * n * n_gemms * N_CALLS
-    return flops / (us * 1e-6) / 1e12 if us else float("nan")
+def bench(m, k, n, n1, n2, reps):
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (m, k), jnp.bfloat16) * jnp.bfloat16(1e-2)
+    b = jax.random.normal(key, (k, n), jnp.bfloat16) * jnp.bfloat16(1e-2)
+    r1 = make_chain(m, k, n, n1)
+    r2 = make_chain(m, k, n, n2)
+    t1 = min(timed(r1, a, b) for _ in range(reps))
+    t2 = min(timed(r2, a, b) for _ in range(reps))
+    per_gemm = (t2 - t1) / (n2 - n1)
+    flops = 2.0 * m * k * n
+    return flops / per_gemm / 1e12, per_gemm * 1e6
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n1", type=int, default=100)
+    ap.add_argument("--n2", type=int, default=300)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
     for m, k, n, tag in SHAPES:
         try:
-            tf = bench(m, k, n)
+            tf, us = bench(m, k, n, args.n1, args.n2, args.reps)
             print(json.dumps({"shape": f"{m}x{k}x{n}", "tag": tag,
+                              "us_per_gemm": round(us, 2),
                               "tflops": round(tf, 1),
                               "pct_datasheet": round(tf / 197 * 100, 1)}),
                   flush=True)

@@ -25,54 +25,118 @@ from flax import linen as nn
 
 
 def patch_qkv():
+    """Flip common.USE_FUSED_QKV: one (H, 3*inner) projection GEMM per
+    attention call instead of three (H, inner) ones. Param tree changes
+    ("qkv" leaf) — bench-only until it proves a win."""
     from mkg_analogy_tpu.models import common
 
-    @nn.compact
-    def call(self, hidden_states, attention_bias=None, score_multiplier=None,
-             extra_kv=None, extra_kv_bias=None, output_kv=False,
-             output_context=False, deterministic=True):
-        b, l, _ = hidden_states.shape
-        inner = self.num_heads * self.head_dim
-        qkv = nn.Dense(3 * inner, dtype=self.dtype, name="qkv")(hidden_states)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split_heads(x):
-            return x.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        kv_out = (k, v) if output_kv else None
-        if extra_kv is not None:
-            n_extra = extra_kv[0].shape[2]
-            k = jnp.concatenate([extra_kv[0].astype(k.dtype), k], axis=2)
-            v = jnp.concatenate([extra_kv[1].astype(v.dtype), v], axis=2)
-            if extra_kv_bias is not None:
-                zeros = jnp.zeros(extra_kv_bias.shape[:-1] + (l,), extra_kv_bias.dtype)
-                assert attention_bias is None
-                attention_bias = jnp.concatenate([extra_kv_bias, zeros], axis=-1)
-        scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if score_multiplier is not None:
-            scores = scores * score_multiplier.astype(scores.dtype)
-        if attention_bias is not None:
-            scores = scores + attention_bias.astype(scores.dtype)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        if self.dropout_rate > 0.0:
-            probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, inner)
-        out = nn.Dense(inner, dtype=self.dtype, use_bias=self.out_bias, name="out")(ctx)
-        if output_context:
-            return out, kv_out, ctx
-        return out, kv_out
-
-    common.AttentionCore.__call__ = call
+    common.USE_FUSED_QKV = True
 
 
 def patch_convpatch():
     from mkg_analogy_tpu.models import common
 
     common.PATCH_EMBED_IMPL = "conv"
+
+
+def patch_smalladam(threshold=8192):
+    """AdamW with every small leaf (size <= threshold: biases, LN scales,
+    adaptive weights — ~500 of the ~700 leaves) updated as ONE concatenated
+    fp32 vector. The step HLO shows ~2.6k async copy-starts of f32[768]-
+    class tensors (params + adam mu/nu staging) whose per-DMA dispatch
+    overhead is ~5% of device time; this collapses their optimizer-side
+    share into a handful of fused ops. Big leaves keep the per-leaf update
+    (they are few and bandwidth-bound anyway). Numerics match optax.adamw
+    (same scale_by_adam -> add_decayed_weights -> -lr(count) order)."""
+    import optax
+
+    from mkg_analogy_tpu.train import trainer as tr
+    from mkg_analogy_tpu.train.optim import (
+        linear_warmup_linear_decay,
+        no_decay_mask,
+    )
+
+    def make_optimizer(lr, total_steps, warmup_ratio=0.1, weight_decay=0.01,
+                       eps=1e-8, grad_accum_steps=1, max_grad_norm=None,
+                       params_example=None):
+        schedule = linear_warmup_linear_decay(lr, total_steps, warmup_ratio)
+        b1, b2 = 0.9, 0.999
+
+        def split(tree):
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            small = [i for i, x in enumerate(leaves) if x.size <= threshold]
+            big = [i for i, x in enumerate(leaves) if x.size > threshold]
+            return leaves, treedef, small, big
+
+        def init_fn(params):
+            leaves, treedef, small, big = split(params)
+            decay_tree = no_decay_mask(params)
+            dleaves = jax.tree_util.tree_leaves(decay_tree)
+            svec = jnp.concatenate(
+                [leaves[i].reshape(-1).astype(jnp.float32) for i in small]
+            )
+            sdecay = np.concatenate(
+                [np.full(leaves[i].size, float(dleaves[i]), np.float32)
+                 for i in small]
+            )
+            return {
+                "count": jnp.zeros([], jnp.int32),
+                "smu": jnp.zeros_like(svec),
+                "snu": jnp.zeros_like(svec),
+                "sdecay": jnp.asarray(sdecay),
+                "bmu": [jnp.zeros_like(leaves[i]) for i in big],
+                "bnu": [jnp.zeros_like(leaves[i]) for i in big],
+            }
+
+        def update_fn(updates, state, params):
+            gleaves, treedef, small, big = split(updates)
+            pleaves = jax.tree_util.tree_leaves(params)
+            dleaves = jax.tree_util.tree_leaves(no_decay_mask(params))
+            count = state["count"] + 1
+            cf = count.astype(jnp.float32)
+            bc1 = 1.0 - b1 ** cf
+            bc2 = 1.0 - b2 ** cf
+            neg_lr = -schedule(state["count"])
+
+            # --- small partition: one fused vector update
+            sg = jnp.concatenate(
+                [gleaves[i].reshape(-1).astype(jnp.float32) for i in small]
+            )
+            sp = jnp.concatenate(
+                [pleaves[i].reshape(-1).astype(jnp.float32) for i in small]
+            )
+            smu = b1 * state["smu"] + (1.0 - b1) * sg
+            snu = b2 * state["snu"] + (1.0 - b2) * sg * sg
+            supd = (smu / bc1) / (jnp.sqrt(snu / bc2) + eps)
+            supd = neg_lr * (supd + weight_decay * state["sdecay"] * sp)
+            new = list(gleaves)
+            off = 0
+            for i in small:
+                sz = gleaves[i].size
+                new[i] = supd[off:off + sz].reshape(gleaves[i].shape)
+                off += sz
+
+            # --- big partition: standard per-leaf adam
+            bmu, bnu = [], []
+            for j, i in enumerate(big):
+                g = gleaves[i]
+                mu = b1 * state["bmu"][j] + (1.0 - b1) * g
+                nu = b2 * state["bnu"][j] + (1.0 - b2) * g * g
+                upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+                if dleaves[i]:
+                    upd = upd + weight_decay * pleaves[i]
+                new[i] = neg_lr * upd
+                bmu.append(mu)
+                bnu.append(nu)
+
+            out = jax.tree_util.tree_unflatten(treedef, new)
+            nstate = dict(state, count=count, smu=smu, snu=snu,
+                          bmu=bmu, bnu=bnu)
+            return out, nstate
+
+        return optax.GradientTransformation(init_fn, update_fn)
+
+    tr.make_optimizer = make_optimizer
 
 
 def patch_nognorm():
@@ -204,6 +268,14 @@ def main():
         from mkg_analogy_tpu.models import common
         common.set_fused_attention(True)
     if args.variant == "nognorm":
+        patch_nognorm()
+    if args.variant == "smalladam":
+        patch_smalladam()
+    if args.variant == "smalladam+nognorm":
+        patch_smalladam()
+        patch_nognorm()
+    if args.variant == "qkv+nognorm":
+        patch_qkv()
         patch_nognorm()
     if args.variant == "bf16stage":
         patch_bf16stage(keep_gnorm=True)
