@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="1 -> Pallas fused attention kernel, 0 -> XLA einsum "
                         "path; default = models.common.USE_FUSED_ATTENTION "
                         "(the configuration bench.py records)")
+    p.add_argument("--fused_adamw", action="store_true", default=False,
+                   help="vector-fused small-leaf AdamW (train/optim.fused_adamw):"
+                        " numerically optax.adamw; measured throughput-neutral"
+                        " on v5e at B=32 (RESULTS.md), so opt-in")
     p.add_argument("--host_gather", action="store_true", default=False,
                    help="gather image features on host per batch (reference-"
                         "style) instead of the device-resident table")
@@ -211,6 +215,7 @@ def main(argv=None):
         # the train batches; an integer limits to that many batches
         # (lit_models/base.py:79-82) — resolved in MarTTrainer.fit
         limit_train_batches=args.limit_train_batches or None,
+        fused_adamw=args.fused_adamw,
     )
     logger = MetricLogger(args.log_dir, wandb=args.wandb,
                           config=vars(args) if args.wandb else None)

@@ -71,6 +71,10 @@ class TrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 5..10
     # pl parity: float in (0,1] = epoch fraction; int = exact batch count
     limit_train_batches: Optional[float] = None
+    # Vector-fused small-leaf AdamW (optim.fused_adamw): numerically
+    # optax.adamw, but the ~500 bias/LN-scale leaves update as one fp32
+    # vector instead of ~2.6k per-leaf DMA dispatches per step.
+    fused_adamw: bool = False
 
 
 class TrainState(train_state.TrainState):
@@ -150,6 +154,7 @@ class MarTTrainer:
             cfg.weight_decay,
             grad_accum_steps=cfg.grad_accum_steps,
             max_grad_norm=cfg.max_grad_norm,
+            fused=cfg.fused_adamw,
         )
         with self.mesh:
             state = TrainState.create(

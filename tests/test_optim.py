@@ -94,3 +94,94 @@ def test_torch_adagrad_sign_like_first_step():
     # optax.adagrad with default eps would give ~1e-9-scale updates instead
     u2, _ = optax.adagrad(1e-2).update(g, optax.adagrad(1e-2).init(params), params)
     assert np.abs(np.asarray(u2["w"])).max() < 1e-7
+
+
+def _rand_tree(key):
+    ks = jax.random.split(key, 5)
+    return {
+        "dense": {
+            "kernel": jax.random.normal(ks[0], (120, 90)),  # big leaf
+            "bias": jax.random.normal(ks[1], (90,)),        # small leaf
+        },
+        "ln": {"scale": jnp.ones((64,)), "bias": jnp.zeros((64,))},
+        "emb": {"embedding": jax.random.normal(ks[2], (400, 30))},  # big
+        "adaptive": jax.random.normal(ks[3], (1,)),          # tiny leaf
+    }
+
+
+def _run_steps(opt, params, n=6, seed=3):
+    state = opt.init(params)
+    for i in range(n):
+        key = jax.random.PRNGKey(seed + i)
+        grads = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(
+                jax.random.fold_in(key, p.size), p.shape
+            ),
+            params,
+        )
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    return params
+
+
+def test_fused_adamw_matches_optax_adamw():
+    """fused_adamw (one concatenated small-leaf vector) is numerically
+    optax.adamw: same moments, bias correction, decoupled weight decay with
+    the no-decay mask, and schedule indexing."""
+    params = _rand_tree(jax.random.PRNGKey(0))
+    ref = make_optimizer(1e-3, 50)
+    fused = make_optimizer(1e-3, 50, fused=True)
+    p_ref = _run_steps(ref, params)
+    p_fused = _run_steps(fused, params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-7), p_ref, p_fused
+    )
+
+
+def test_fused_adamw_matches_with_clip_and_accum():
+    params = _rand_tree(jax.random.PRNGKey(1))
+    ref = make_optimizer(1e-3, 50, grad_accum_steps=2, max_grad_norm=0.5)
+    fused = make_optimizer(
+        1e-3, 50, grad_accum_steps=2, max_grad_norm=0.5, fused=True
+    )
+    p_ref = _run_steps(ref, params, n=4)
+    p_fused = _run_steps(fused, params, n=4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-7), p_ref, p_fused
+    )
+
+
+def test_fused_adamw_all_small_or_all_big():
+    """Degenerate partitions: every leaf small / every leaf big."""
+    from mkg_analogy_tpu.train.optim import fused_adamw
+
+    sched = linear_warmup_linear_decay(1e-3, 20)
+    for params in (
+        {"a": jnp.ones((5,)), "b": jnp.full((3,), 2.0)},          # all small
+        {"w": jnp.ones((200, 200)), "v": jnp.ones((150, 100))},   # all big
+    ):
+        ref = optax.adamw(sched, eps=1e-8, weight_decay=0.01)
+        fused = fused_adamw(sched, weight_decay=0.01)
+        p_ref = _run_steps(ref, params, n=3)
+        p_fused = _run_steps(fused, params, n=3)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-7),
+            p_ref,
+            p_fused,
+        )
+
+
+def test_fused_adamw_state_is_checkpointable_pytree():
+    """State must be a plain dict/list pytree (orbax round-trippable)."""
+    from mkg_analogy_tpu.train.optim import fused_adamw
+
+    params = _rand_tree(jax.random.PRNGKey(2))
+    opt = fused_adamw(linear_warmup_linear_decay(1e-3, 20))
+    state = opt.init(params)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    rebuilt = jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(l) for l in leaves]
+    )
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, jax.tree_util.tree_map(jnp.asarray, rebuilt), params)
+    assert jax.tree_util.tree_structure(updates) == jax.tree_util.tree_structure(params)

@@ -85,12 +85,19 @@ def bench(m, k, n, n1, n2, reps):
     key = jax.random.PRNGKey(0)
     a = jax.random.normal(key, (m, k), jnp.bfloat16) * jnp.bfloat16(1e-2)
     b = jax.random.normal(key, (k, n), jnp.bfloat16) * jnp.bfloat16(1e-2)
+    flops = 2.0 * m * k * n
+    # Scale chain length so the DIFFERENTIAL (n2 - n1) of ideal-speed GEMMs
+    # spans >= ~60 ms of device time — the tunnel's host-readback jitter is
+    # several ms, and a fixed 100-GEMM differential of 24 us GEMMs (2.4 ms)
+    # drowns in it (observed: negative / 13x-datasheet readings).
+    ideal_s = flops / 197e12
+    scale = max(1.0, 60e-3 / (ideal_s * (n2 - n1)))
+    n1, n2 = int(n1 * scale), int(n2 * scale)
     r1 = make_chain(m, k, n, n1)
     r2 = make_chain(m, k, n, n2)
     t1 = min(timed(r1, a, b) for _ in range(reps))
     t2 = min(timed(r2, a, b) for _ in range(reps))
     per_gemm = (t2 - t1) / (n2 - n1)
-    flops = 2.0 * m * k * n
     return flops / per_gemm / 1e12, per_gemm * 1e6
 
 

@@ -58,7 +58,7 @@ def patch_smalladam(threshold=8192):
 
     def make_optimizer(lr, total_steps, warmup_ratio=0.1, weight_decay=0.01,
                        eps=1e-8, grad_accum_steps=1, max_grad_norm=None,
-                       params_example=None):
+                       params_example=None, **_ignored):
         schedule = linear_warmup_linear_decay(lr, total_steps, warmup_ratio)
         b1, b2 = 0.9, 0.999
 
@@ -276,6 +276,10 @@ def main():
         patch_nognorm()
     if args.variant == "qkv+nognorm":
         patch_qkv()
+        patch_nognorm()
+    if args.variant == "qkv+smalladam+nognorm":
+        patch_qkv()
+        patch_smalladam()
         patch_nognorm()
     if args.variant == "bf16stage":
         patch_bf16stage(keep_gnorm=True)
