@@ -139,6 +139,59 @@ def patch_smalladam(threshold=8192):
     tr.make_optimizer = make_optimizer
 
 
+def patch_tdense():
+    """Store every Dense kernel transposed — (features, in) instead of
+    flax's (in, features) — and contract over the kernel's dim 1 in the
+    forward. The backward then contracts over dim 0 for dgrad, so XLA
+    never needs the explicit weight-transpose DMA copies the base step
+    spends ~5%% of device time on (tools/attr_trace.py). Param layout
+    changes -> bench-only until it proves a win."""
+    import typing as _t
+
+    import flax.linen as fnn
+    from flax.linen import initializers
+
+    class TDense(fnn.Module):
+        features: int
+        use_bias: bool = True
+        dtype: _t.Any = None
+        param_dtype: _t.Any = jnp.float32
+        kernel_init: _t.Any = initializers.lecun_normal()
+        bias_init: _t.Any = initializers.zeros_init()
+        precision: _t.Any = None
+
+        @fnn.compact
+        def __call__(self, x):
+            kernel = self.param(
+                "kernel", self.kernel_init,
+                (self.features, x.shape[-1]), self.param_dtype,
+            )
+            dt = self.dtype or x.dtype
+            y = jax.lax.dot_general(
+                x.astype(dt), kernel.astype(dt),
+                (((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=dt,
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", self.bias_init, (self.features,), self.param_dtype
+                )
+                y = y + bias.astype(dt)
+            return y
+
+    fnn.Dense = TDense
+
+
+def patch_gelutanh():
+    """Swap the exact-erf gelu (BERT-parity default) for the tanh
+    approximation, to price the erf polynomial's VPU time inside the
+    fc1 GEMM fusions. Changes numerics at the 1e-3 level -> measurement
+    only; the production default stays erf."""
+    from mkg_analogy_tpu.models import common
+
+    common.ACT2FN["gelu"] = lambda x: nn.gelu(x, approximate=True)
+
+
 def patch_nognorm():
     """Drop the per-step optax.global_norm(grads) metric — a full extra
     HBM pass over every gradient (~680 MB/step). pl does not compute
@@ -281,6 +334,13 @@ def main():
         patch_qkv()
         patch_smalladam()
         patch_nognorm()
+    if args.variant == "tdense":
+        patch_tdense()
+    if args.variant == "gelutanh":
+        patch_gelutanh()
+    if args.variant == "tdense+gelutanh":
+        patch_tdense()
+        patch_gelutanh()
     if args.variant == "bf16stage":
         patch_bf16stage(keep_gnorm=True)
     if args.variant == "bf16stage+nognorm":
