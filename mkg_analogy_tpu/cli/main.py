@@ -114,10 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intermediate_size", type=int, default=None)
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of a few train steps")
-    p.add_argument("--fused_attention", type=int, default=None,
-                   choices=[0, 1],
-                   help="1 -> Pallas fused attention kernel, 0 -> XLA einsum "
-                        "path; default = models.common.USE_FUSED_ATTENTION "
+    p.add_argument("--fused_attention", type=str, default=None,
+                   choices=["0", "1", "flash"],
+                   help="1 -> single-block Pallas fused attention kernel, "
+                        "flash -> K-blocked online-softmax kernel (scales to "
+                        "long L), 0 -> XLA einsum path; default = "
+                        "models.common.USE_FUSED_ATTENTION "
                         "(the configuration bench.py records)")
     p.add_argument("--fused_adamw", action="store_true", default=False,
                    help="vector-fused small-leaf AdamW (train/optim.fused_adamw):"
@@ -164,7 +166,10 @@ def main(argv=None):
     if args.fused_attention is not None:
         from ..models import common as _common
 
-        _common.set_fused_attention(bool(args.fused_attention))
+        if args.fused_attention == "flash":
+            _common.set_fused_attention(True, backend="flash")
+        else:
+            _common.set_fused_attention(args.fused_attention == "1")
 
     vocab_file = None
     if args.model_name_or_path and args.model_name_or_path != "wordpiece-kg":

@@ -52,12 +52,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_BIAS = -10000.0  # reference padding bias (modeling_unimo.py:56)
 
 
-def _geometry_planes(boundary, w0, w1, *, lq, lk, geometry):
+def _geometry_planes(boundary, w0, w1, *, lq, lk, geometry, row0=0, col0=0):
     """(mult, region0, region1) planes for one batch row — head-invariant
-    (ops/masks.py parity). region* are 0/1 floats for the dw reductions."""
+    (ops/masks.py parity). region* are 0/1 floats for the dw reductions.
+    ``row0``/``col0`` offset the iota planes so a (lq, lk)-shaped *tile* of
+    the full score matrix gets the right absolute geometry (flash path)."""
     row_start, text_len, offset = geometry
-    rows = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
     bnd = boundary + offset
     col_is_answer = (cols >= bnd) & (cols < text_len)
     row_is_example = (rows >= row_start) & (rows < bnd)
@@ -69,11 +71,25 @@ def _geometry_planes(boundary, w0, w1, *, lq, lk, geometry):
     return (mult, region0.astype(jnp.float32), region1.astype(jnp.float32))
 
 
-def _dropout_keep(shape, rate, seed):
+def _dropout_keep(shape, rate, seed, *, interpret=False):
+    threshold = jnp.uint32(int(rate * float(2 ** 32)))
+    if interpret:
+        # pltpu PRNG has no CPU lowering; interpret mode substitutes a
+        # counter-based integer hash (lowbias32-style finalizer). The only
+        # property the kernels rely on is identical masks for identical
+        # (shape, seed) across forward and both backward passes — which a
+        # pure function of (element index, seed) gives by construction.
+        idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+               * jnp.uint32(shape[-1])
+               + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        x = idx ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        return x >= threshold
     pltpu.prng_seed(seed)
     bits = pltpu.prng_random_bits(shape)
     bits = pltpu.bitcast(bits, jnp.uint32)
-    threshold = jnp.uint32(int(rate * float(2 ** 32)))
     return bits >= threshold  # keep with prob (1 - rate)
 
 
@@ -105,7 +121,7 @@ def _hoist_geometry(bnd_ref, w_ref, mult_ref, r0_ref, r1_ref, *, lq, lk,
 def _fwd_kernel(bnd_ref, w_ref, seed_ref, mask_ref, q_ref, k_ref, v_ref,
                 out_ref, mult_ref, r0_ref, r1_ref, *, scale, rate, geometry,
                 num_heads, heads_per_cell, head_dim, deterministic,
-                out_dtype):
+                out_dtype, interpret=False):
     lq, lk = q_ref.shape[1], k_ref.shape[1]
     d = head_dim
     if geometry is not None:
@@ -125,6 +141,7 @@ def _fwd_kernel(bnd_ref, w_ref, seed_ref, mask_ref, q_ref, k_ref, v_ref,
             keep = _dropout_keep(
                 p.shape, rate,
                 _cell_seed(seed_ref, num_heads, heads_per_cell, h),
+                interpret=interpret,
             )
             p = jnp.where(keep, p / (1.0 - rate), 0.0)
         ctx = jax.lax.dot_general(
@@ -139,7 +156,7 @@ def _fwd_kernel(bnd_ref, w_ref, seed_ref, mask_ref, q_ref, k_ref, v_ref,
 def _bwd_kernel(bnd_ref, w_ref, seed_ref, mask_ref, q_ref, k_ref, v_ref,
                 g_ref, dq_ref, dk_ref, dv_ref, dw_ref, mult_ref, r0_ref,
                 r1_ref, *, scale, rate, geometry, num_heads, heads_per_cell,
-                head_dim, deterministic, out_dtype):
+                head_dim, deterministic, out_dtype, interpret=False):
     lq, lk = q_ref.shape[1], k_ref.shape[1]
     d = head_dim
     if geometry is not None:
@@ -168,6 +185,7 @@ def _bwd_kernel(bnd_ref, w_ref, seed_ref, mask_ref, q_ref, k_ref, v_ref,
             keep = _dropout_keep(
                 p.shape, rate,
                 _cell_seed(seed_ref, num_heads, heads_per_cell, h),
+                interpret=interpret,
             )
             inv = 1.0 / (1.0 - rate)
             p_drop = jnp.where(keep, p * inv, 0.0)
@@ -280,6 +298,7 @@ def _fused_attention_fwd(q, k, v, mask, boundary, w, seed, num_heads, scale,
         _fwd_kernel, scale=scale, rate=rate, geometry=geometry,
         num_heads=num_heads, heads_per_cell=hpc, head_dim=d,
         deterministic=deterministic, out_dtype=compute_dtype,
+        interpret=interpret,
     )
     out = pl.pallas_call(
         kernel,
@@ -316,6 +335,7 @@ def _fused_attention_bwd(num_heads, scale, rate, geometry, deterministic,
         _bwd_kernel, scale=scale, rate=rate, geometry=geometry,
         num_heads=num_heads, heads_per_cell=hpc, head_dim=d,
         deterministic=deterministic, out_dtype=compute_dtype,
+        interpret=interpret,
     )
     dq, dk, dv, dw = pl.pallas_call(
         kernel,

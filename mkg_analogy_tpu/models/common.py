@@ -37,6 +37,10 @@ def get_activation(name: str) -> Callable:
 # kernel via interpret mode in tests/test_fused_attention.py.
 USE_FUSED_ATTENTION = False
 FUSED_INTERPRET = False  # interpret-mode kernel (CPU testing)
+# "single" -> kernels/attention.py (whole-row score plane in VMEM, fastest
+# at short L but VMEM-bound past L~512); "flash" -> kernels/flash_attention.py
+# (online-softmax over K tiles, scales to arbitrary L).
+FUSED_BACKEND = "single"
 
 # Bench-only experiment: project Q/K/V with one (H, 3*inner) GEMM instead
 # of three (H, inner) GEMMs. Changes the param tree ("qkv" replaces
@@ -46,10 +50,13 @@ FUSED_INTERPRET = False  # interpret-mode kernel (CPU testing)
 USE_FUSED_QKV = False
 
 
-def set_fused_attention(enabled: bool, interpret: bool = False) -> None:
-    global USE_FUSED_ATTENTION, FUSED_INTERPRET
+def set_fused_attention(enabled: bool, interpret: bool = False,
+                        backend: str = "single") -> None:
+    global USE_FUSED_ATTENTION, FUSED_INTERPRET, FUSED_BACKEND
+    assert backend in ("single", "flash"), backend
     USE_FUSED_ATTENTION = enabled
     FUSED_INTERPRET = interpret
+    FUSED_BACKEND = backend
 
 
 class AttentionCore(nn.Module):
@@ -199,7 +206,10 @@ class AttentionCore(nn.Module):
         return core(q, k, v, attention_bias, analogy_arrs, key)
 
     def _fused(self, q, k, v, attention_bias, analogy, deterministic):
-        from ..kernels.attention import fused_attention
+        if FUSED_BACKEND == "flash":
+            from ..kernels.flash_attention import flash_attention as kernel
+        else:
+            from ..kernels.attention import fused_attention as kernel
 
         # kernel convention is the packed (B, L, heads*d) layout — exactly
         # what the projection GEMMs produce, so no transpose/relayout is
@@ -240,7 +250,7 @@ class AttentionCore(nn.Module):
             seed = jax.random.randint(
                 self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
             )
-        ctx = fused_attention(
+        ctx = kernel(
             q, k, v, mask, self.num_heads,
             dropout_rate=rate, deterministic=deterministic,
             dropout_seed=seed, compute_dtype=self.dtype,

@@ -78,6 +78,22 @@ def fused_attn(q, k, v, mask, num_heads, boundary, w0, w1, rate=0.0,
     )
 
 
+def flash_attn(q, k, v, mask, num_heads, boundary, w0, w1, rate=0.0,
+               key=None):
+    from mkg_analogy_tpu.kernels.flash_attention import flash_attention
+
+    seed = None
+    if rate > 0.0:
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+    return flash_attention(
+        q, k, v, mask, num_heads,
+        boundary=boundary, w0=jnp.clip(w0, 0.0, 0.5),
+        w1=jnp.clip(w1, 0.5, 1.0), text_len=q.shape[1], row_start=0,
+        dropout_rate=rate, deterministic=rate <= 0.0, dropout_seed=seed,
+        compute_dtype=jnp.bfloat16,
+    )
+
+
 def bench_one(fn, num_heads, args_, iters, rate=0.0):
     q, k, v, mask, bnd, w0, w1 = args_
     key = jax.random.PRNGKey(3)
@@ -119,7 +135,8 @@ def main():
         w1 = jnp.asarray([0.6], jnp.float32)
         pack = (q, k, v, mask, bnd, w0, w1)
         row = {"L": L, "B": B, "dropout": args.dropout}
-        for name, fn in (("xla_ms", einsum_attn), ("fused_ms", fused_attn)):
+        for name, fn in (("xla_ms", einsum_attn), ("fused_ms", fused_attn),
+                         ("flash_ms", flash_attn)):
             try:
                 row[name] = round(
                     bench_one(fn, args.heads, pack, args.iters,
