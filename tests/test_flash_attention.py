@@ -90,6 +90,26 @@ def test_cross_length_kv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_bf16_forward_tolerance():
+    """bf16 compute path vs the f32 einsum reference on identical
+    (bf16-rounded) inputs — backs the 2e-2 claim in the module docstring
+    (the flash path casts unnormalized exp-weights and divides in fp32)."""
+    q, k, v, mask = make_inputs(seed=21)
+    qb = q.astype(jnp.bfloat16)
+    kb = k.astype(jnp.bfloat16)
+    vb = v.astype(jnp.bfloat16)
+    want = einsum_reference(qb.astype(jnp.float32), kb.astype(jnp.float32),
+                            vb.astype(jnp.float32), mask,
+                            boundary=jnp.asarray((5, 7)),
+                            w0=jnp.asarray([0.3]), w1=jnp.asarray([0.7]))
+    got = flash_attention(qb, kb, vb, mask, H, boundary=jnp.asarray((5, 7)),
+                          w0=jnp.asarray([0.3]), w1=jnp.asarray([0.7]),
+                          deterministic=True, compute_dtype=jnp.bfloat16,
+                          interpret=True, block_q=8, block_k=8)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=2e-2)
+
+
 def test_dropout_fwd_bwd_mask_consistency():
     """With dropout active, the custom VJP must regenerate the exact keep
     mask the forward drew (per (batch, head, q-tile, k-tile) seed). Checked

@@ -94,6 +94,25 @@ def flash_attn(q, k, v, mask, num_heads, boundary, w0, w1, rate=0.0,
     )
 
 
+def jaxflash_attn(q, k, v, mask, num_heads, boundary, w0, w1, rate=0.0,
+                  key=None):
+    """jax.experimental's own TPU flash kernel — a speed-of-light envelope
+    row (plain softmax attention: no analogy multiplier, no padding bias,
+    no dropout; (B, H, L, D) layout, so the relayout transposes ARE
+    counted, as on the einsum path)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as jf,
+    )
+
+    b, lq, hd = q.shape
+    d = hd // num_heads
+    qh = q.reshape(b, lq, num_heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lq, num_heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lq, num_heads, d).transpose(0, 2, 1, 3)
+    out = jf(qh, kh, vh, sm_scale=float(d) ** -0.5)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, hd)
+
+
 def bench_one(fn, num_heads, args_, iters, rate=0.0):
     q, k, v, mask, bnd, w0, w1 = args_
     key = jax.random.PRNGKey(3)
@@ -136,7 +155,10 @@ def main():
         pack = (q, k, v, mask, bnd, w0, w1)
         row = {"L": L, "B": B, "dropout": args.dropout}
         for name, fn in (("xla_ms", einsum_attn), ("fused_ms", fused_attn),
-                         ("flash_ms", flash_attn)):
+                         ("flash_ms", flash_attn),
+                         ("jaxflash_ms", jaxflash_attn)):
+            if name == "jaxflash_ms" and args.dropout > 0:
+                continue  # envelope row is dropout-free by construction
             try:
                 row[name] = round(
                     bench_one(fn, args.heads, pack, args.iters,

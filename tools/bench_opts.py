@@ -320,6 +320,9 @@ def main():
     if args.variant in ("fused", "fused+conv"):
         from mkg_analogy_tpu.models import common
         common.set_fused_attention(True)
+    if args.variant == "flashattn":
+        from mkg_analogy_tpu.models import common
+        common.set_fused_attention(True, backend="flash")
     if args.variant == "nognorm":
         patch_nognorm()
     if args.variant == "smalladam":
