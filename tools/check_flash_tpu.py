@@ -1,0 +1,173 @@
+"""Real-TPU correctness check for the fused attention kernels.
+
+Covers what interpret mode cannot: the Mosaic lowering itself and the
+hardware-PRNG dropout path (pltpu.prng_*). Checks, for both the
+single-block and flash kernels:
+
+1. deterministic forward vs the XLA einsum reference (bf16 tolerance);
+2. deterministic grads (q, w0, w1) vs autodiff of the einsum path;
+3. dropout: same-seed determinism, keep-fraction, mean-preservation, and
+   a central finite-difference probe of the custom VJP *through* the
+   dropout mask (any fwd/bwd mask mismatch shows up orders of magnitude
+   above round-off).
+
+Exits non-zero on failure; prints one JSON line per check.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mkg_analogy_tpu.kernels.attention import fused_attention
+from mkg_analogy_tpu.kernels.flash_attention import flash_attention
+from mkg_analogy_tpu.ops.masks import analogy_score_multiplier, attention_bias
+
+H, D = 12, 64
+FAILED = []
+
+
+def report(name, ok, detail):
+    print(json.dumps({"check": name, "ok": bool(ok), **detail}), flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def einsum_reference(q, k, v, mask, boundary, w0, w1):
+    b, l, hd = q.shape
+    qh = q.reshape(b, l, H, D).transpose(0, 2, 1, 3).astype(jnp.float32)
+    kh = k.reshape(b, l, H, D).transpose(0, 2, 1, 3).astype(jnp.float32)
+    vh = v.reshape(b, l, H, D).transpose(0, 2, 1, 3).astype(jnp.float32)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * (D ** -0.5)
+    mult = analogy_score_multiplier(boundary, l, w0, w1, text_len=l,
+                                    row_start=0)
+    scores = scores * mult + attention_bias(mask)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, l, hd)
+
+
+def make(b, l, dtype=jnp.bfloat16, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, l, H * D)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, l, H * D)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, l, H * D)), dtype)
+    mask = np.ones((b, l), np.float32)
+    mask[:, l - 7:] = 0.0
+    return q, k, v, jnp.asarray(mask)
+
+
+def kernel_fn(which, **over):
+    base = dict(num_heads=H)
+    if which == "flash":
+        base.update(over)
+        return lambda *a, **kw: flash_attention(*a, **{**base, **kw})
+    over.pop("block_q", None), over.pop("block_k", None)
+    base.update(over)
+    return lambda *a, **kw: fused_attention(*a, **{**base, **kw})
+
+
+def check_deterministic(which, b=8, l=128, **over):
+    q, k, v, mask = make(b, l)
+    bnd = jnp.full((b,), l // 3, jnp.int32)
+    w0 = jnp.asarray([0.3]); w1 = jnp.asarray([0.7])
+    fn = kernel_fn(which, **over)
+    want = einsum_reference(q, k, v, mask, bnd, w0, w1)
+    got = jax.jit(lambda *a: fn(*a, boundary=bnd, w0=w0, w1=w1,
+                                text_len=l, deterministic=True))(q, k, v, mask)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+    report(f"{which}_fwd_L{l}", err < 3e-2, {"max_abs_err": err})
+
+    def loss(fn_, q, w0, w1):
+        out = fn_(q, k, v, mask, boundary=bnd, w0=w0, w1=w1, text_len=l,
+                  deterministic=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.jit(jax.grad(
+        lambda q, w0, w1: jnp.sum(
+            einsum_reference(q, k, v, mask, bnd, w0, w1) ** 2),
+        argnums=(0, 1, 2)))(q, w0, w1)
+    g_got = jax.jit(jax.grad(
+        lambda q, w0, w1: loss(fn, q, w0, w1), argnums=(0, 1, 2)))(q, w0, w1)
+    errs = {}
+    ok = True
+    for name, a, bb in zip(("dq", "dw0", "dw1"), g_ref, g_got):
+        e = float(jnp.max(jnp.abs(bb.astype(jnp.float32) - a)))
+        rel = e / (float(jnp.max(jnp.abs(a))) + 1e-6)
+        errs[name] = round(rel, 5)
+        ok &= rel < 3e-2
+    report(f"{which}_grads_L{l}", ok, errs)
+
+
+def check_dropout(which, b=8, l=128, rate=0.25, **over):
+    q, k, v, mask = make(b, l, dtype=jnp.float32)
+    bnd = jnp.full((b,), l // 3, jnp.int32)
+    w0 = jnp.asarray([0.3]); w1 = jnp.asarray([0.7])
+    fn = kernel_fn(which, **over)
+
+    def run(q, w0, seed):
+        return fn(q, k, v, mask, boundary=bnd, w0=w0, w1=w1, text_len=l,
+                  dropout_rate=rate, deterministic=False,
+                  dropout_seed=seed, compute_dtype=jnp.float32)
+
+    s0 = jnp.asarray(99, jnp.int32)
+    o1 = jax.jit(run)(q, w0, s0)
+    o2 = jax.jit(run)(q, w0, s0)
+    same = bool(jnp.all(o1 == o2))
+    o3 = jax.jit(run)(q, w0, jnp.asarray(100, jnp.int32))
+    differs = float(jnp.max(jnp.abs(o1 - o3))) > 1e-4
+    # mean preservation with v = ones
+    vones = jnp.ones_like(v)
+    fn_ones = kernel_fn(which, **over)
+    outs = [jax.jit(lambda s: fn_ones(
+        q, k, vones, mask, boundary=bnd, w0=w0, w1=w1, text_len=l,
+        dropout_rate=rate, deterministic=False, dropout_seed=s,
+        compute_dtype=jnp.float32))(jnp.asarray(s, jnp.int32))
+        for s in range(12)]
+    mean = float(jnp.mean(jnp.stack(outs)))
+    report(f"{which}_dropout_fwd", same and differs and abs(mean - 1) < 0.05,
+           {"same_seed_identical": same, "seed_varies": differs,
+            "ones_mean": round(mean, 4)})
+
+    def loss(q, w0):
+        out = run(q, w0, s0)
+        return jnp.sum(out * jnp.cos(out))
+
+    gq, gw0 = jax.jit(jax.grad(loss, argnums=(0, 1)))(q, w0)
+    jloss = jax.jit(loss)
+    eps = 1e-2
+    ok = True
+    errs = {}
+    probes = [(0, 5, 17), (3, 77, 401)]
+    probes = [tuple(c % s for c, s in zip(p, q.shape)) for p in probes]
+    for i, idx in enumerate(probes):
+        dq = np.zeros(q.shape, np.float32); dq[idx] = eps
+        num = (float(jloss(q + dq, w0)) - float(jloss(q - dq, w0))) / (2 * eps)
+        got = float(gq[idx])
+        rel = abs(got - num) / (abs(num) + 1e-4)
+        errs[f"dq{i}"] = round(rel, 5)
+        ok &= rel < 5e-2
+    num = (float(jloss(q, w0 + eps)) - float(jloss(q, w0 - eps))) / (2 * eps)
+    rel = abs(float(gw0[0]) - num) / (abs(num) + 1e-4)
+    errs["dw0"] = round(rel, 5)
+    ok &= rel < 5e-2
+    report(f"{which}_dropout_vjp", ok, errs)
+
+
+if __name__ == "__main__":
+    for which in ("single", "flash"):
+        check_deterministic(which, l=128)
+        check_dropout(which, l=128)
+    # flash-only: multi-tile grids incl. ragged edges, long L
+    check_deterministic("flash", l=384, block_q=128, block_k=128)
+    check_deterministic("flash", l=320, block_q=128, block_k=128)  # ragged
+    check_dropout("flash", l=384, block_q=128, block_k=128)
+    check_deterministic("flash", b=2, l=2048, block_q=256, block_k=512)
+    print(json.dumps({"failed": FAILED}))
+    sys.exit(1 if FAILED else 0)
