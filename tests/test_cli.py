@@ -153,6 +153,38 @@ def test_main_cli_synthetic_images(dataset, tmp_path):
     assert 0 < metrics["Eval_entity/mrr"] <= 1
 
 
+@pytest.mark.parametrize("mode", ["synthetic", "synthetic_noise"])
+def test_main_cli_synthetic_regions(dataset, tmp_path, mode):
+    """--image_features synthetic|synthetic_noise on a region-feature model
+    builds the (N, 36, 2048) identity/noise table on device and trains/evals
+    end-to-end (cli/main.py region-ablation branch)."""
+    from mkg_analogy_tpu.cli.main import main
+
+    root, markg_dir, mars_dir = dataset
+    metrics = main([
+        "--data_dir", mars_dir,
+        "--pretrain_path", markg_dir,
+        "--model_class", "VisualBertKGC",
+        "--image_features", mode,
+        "--max_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--max_seq_length", "48",
+        "--text_vocab_size", "256",
+        "--hidden_size", "32",
+        "--num_layers", "2",
+        "--num_heads", "2",
+        "--intermediate_size", "64",
+        "--dtype", "float32",
+        "--dp", "8",
+        "--output_dir", str(tmp_path / "out"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--cache_dir", str(tmp_path / "cache"),
+    ])
+    assert "Eval_entity/mrr" in metrics
+    assert 0 < metrics["Eval_entity/mrr"] <= 1
+
+
 def test_limit_train_batches_int_vs_fraction():
     """ADVICE r2: '--limit_train_batches 1' is ONE batch (int), '1.0' is the
     full epoch (fraction) — the pl.Trainer int/float distinction must survive
