@@ -311,6 +311,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--variant", default="base")
+    ap.add_argument("--copt", action="append", default=[],
+                    help="key=val XLA compiler option(s) applied via "
+                         "lower().compile(compiler_options=...) — e.g. "
+                         "--copt xla_tpu_scoped_vmem_limit_kib=65536")
     args = ap.parse_args()
 
     if args.variant in ("qkv", "both"):
@@ -377,15 +381,20 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), batch, total_steps=1000)
     step = jax.jit(trainer._train_step, donate_argnums=0)
     rng = jax.random.PRNGKey(1)
+    copts = {}
     if args.variant.startswith("vmem"):
         # scoped-VMEM limit via per-compile options (XLA_FLAGS is rejected
         # by the axon client); larger scratch budget -> deeper weight
         # prefetch pipelining
-        kib = args.variant[4:] or "65536"
+        copts["xla_tpu_scoped_vmem_limit_kib"] = args.variant[4:] or "65536"
+    for kv in args.copt:
+        k, _, v = kv.partition("=")
+        copts[k] = v
+    if copts:
         with mesh:
             db0 = trainer._put_batch(batch)
             step = step.lower(state, db0, rng).compile(
-                compiler_options={"xla_tpu_scoped_vmem_limit_kib": kib}
+                compiler_options=copts
             )
     with mesh:
         db = trainer._put_batch(batch)
