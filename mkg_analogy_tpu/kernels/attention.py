@@ -27,7 +27,10 @@ sequentially over the same scratch buffers.
 Sequences here are short (<=256: text 128, vision 99, vision+text 227), so
 each cell holds full score rows in VMEM and runs a single-pass softmax — no
 online/flash tiling needed, and no padding: block shapes use the exact
-(Lq, Lk) and Mosaic handles the ragged tile edges. The backward is a custom
+(Lq, Lk) and Mosaic handles the ragged tile edges. This VMEM-residency
+bounds the kernel near L=1024 on v5e; ``kernels/flash_attention.py`` is the
+K-blocked online-softmax variant with the same contract that scales to
+arbitrary sequence length (``--fused_attention flash``). The backward is a custom
 VJP that recomputes scores/probs in-kernel (flash-attention style) and
 regenerates the dropout mask from the same per-cell PRNG seed; it also
 emits the gradients of the two trainable adaptive-mask scalars (the clamp
