@@ -14,10 +14,35 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+# The reference's "gelu" is torch.nn.functional.gelu = exact erf
+# (modeling_unimo.py ACT2FN via HF transformers). DELIBERATE DEVIATION on
+# the bf16 compute path: the tanh approximation. Measured on v5e at the
+# recipe point (B=32, full train step) the erf polynomial costs ~4.4 ms of
+# VPU time inside the fc1 fusions — tanh-gelu is +12% throughput
+# (tools/bench_opts.py gelutanh, RESULTS.md round-3 ledger). Numerically
+# the deviation is below the activation precision it feeds: max absolute
+# difference 4.8e-4 over all x (at x≈2.7), under one bf16 ULP for any
+# output of meaningful magnitude; on N(0,1.5) activations 85% of bf16
+# outputs are bit-identical and the rest differ in the final bit, almost
+# all in the near-zero negative tail. fp32 models (torch activation-parity
+# tests, --dtype float32 runs) keep exact erf automatically, and
+# --exact_gelu / set_gelu_exact(True) forces erf under bf16 too.
+GELU_EXACT = False
+
+
+def set_gelu_exact(exact: bool) -> None:
+    global GELU_EXACT
+    GELU_EXACT = bool(exact)
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    if GELU_EXACT or x.dtype == jnp.float32:
+        return nn.gelu(x, approximate=False)
+    return nn.gelu(x, approximate=True)
+
+
 ACT2FN: dict = {
-    # exact erf gelu (torch.nn.functional.gelu default / BERT parity);
-    # flax's nn.gelu defaults to the tanh approximation.
-    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu": _gelu,
     "relu": nn.relu,
     "quick_gelu": quick_gelu,
     "gelu_new": lambda x: nn.gelu(x, approximate=True),

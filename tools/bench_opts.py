@@ -183,13 +183,20 @@ def patch_tdense():
 
 
 def patch_gelutanh():
-    """Swap the exact-erf gelu (BERT-parity default) for the tanh
-    approximation, to price the erf polynomial's VPU time inside the
-    fc1 GEMM fusions. Changes numerics at the 1e-3 level -> measurement
-    only; the production default stays erf."""
+    """Force the tanh gelu approximation regardless of dtype/flag. Since
+    round 3 this IS the bf16 production default (models/common.py _gelu,
+    measured +12%); the variant remains to price erf in fp32 runs and to
+    A/B against --exact_gelu."""
     from mkg_analogy_tpu.models import common
 
     common.ACT2FN["gelu"] = lambda x: nn.gelu(x, approximate=True)
+
+
+def patch_geluexact():
+    """Force exact erf gelu under bf16 (the pre-round-3 default)."""
+    from mkg_analogy_tpu.models import common
+
+    common.set_gelu_exact(True)
 
 
 def patch_nognorm():
@@ -345,6 +352,8 @@ def main():
         patch_tdense()
     if args.variant == "gelutanh":
         patch_gelutanh()
+    if args.variant == "geluexact":
+        patch_geluexact()
     if args.variant == "tdense+gelutanh":
         patch_tdense()
         patch_gelutanh()
