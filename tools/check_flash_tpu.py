@@ -135,28 +135,32 @@ def check_dropout(which, b=8, l=128, rate=0.25, **over):
            {"same_seed_identical": same, "seed_varies": differs,
             "ones_mean": round(mean, 4)})
 
-    def loss(q, w0):
-        out = run(q, w0, s0)
-        return jnp.sum(out * jnp.cos(out))
-
-    gq, gw0 = jax.jit(jax.grad(loss, argnums=(0, 1)))(q, w0)
-    jloss = jax.jit(loss)
+    # VJP-through-dropout check. The loss is a SINGLE output coordinate:
+    # a summed loss over ~1e6 fp32 terms makes the finite-difference
+    # numerator pure rounding noise (|L|~1e5, fp32 eps -> ~0.01 abs noise
+    # per evaluation vs a derivative term of ~1e-2), which false-failed
+    # this check in its first version. out[i,j,k] is O(1), so central
+    # differences resolve the derivative to ~1e-5.
     eps = 1e-2
     ok = True
     errs = {}
-    probes = [(0, 5, 17), (3, 77, 401)]
-    probes = [tuple(c % s for c, s in zip(p, q.shape)) for p in probes]
-    for i, idx in enumerate(probes):
-        dq = np.zeros(q.shape, np.float32); dq[idx] = eps
-        num = (float(jloss(q + dq, w0)) - float(jloss(q - dq, w0))) / (2 * eps)
-        got = float(gq[idx])
-        rel = abs(got - num) / (abs(num) + 1e-4)
-        errs[f"dq{i}"] = round(rel, 5)
-        ok &= rel < 5e-2
-    num = (float(jloss(q, w0 + eps)) - float(jloss(q, w0 - eps))) / (2 * eps)
-    rel = abs(float(gw0[0]) - num) / (abs(num) + 1e-4)
-    errs["dw0"] = round(rel, 5)
-    ok &= rel < 5e-2
+    cases = [((0, 5, 17), (0, 9, 17)), ((3, 77, 401), (3, 12, 401))]
+    cases = [(tuple(c % s for c, s in zip(o, q.shape)),
+              tuple(c % s for c, s in zip(i, q.shape))) for o, i in cases]
+    for n, (oidx, iidx) in enumerate(cases):
+        coord = jax.jit(lambda q, w0: run(q, w0, s0)[oidx])
+        gq, gw0 = jax.jit(jax.grad(
+            lambda q, w0: run(q, w0, s0)[oidx], argnums=(0, 1)))(q, w0)
+        dq = np.zeros(q.shape, np.float32); dq[iidx] = eps
+        num = (float(coord(q + dq, w0)) - float(coord(q - dq, w0))) / (2 * eps)
+        got = float(gq[iidx])
+        err = abs(got - num) / (abs(num) + 1e-3)
+        errs[f"dq{n}"] = round(err, 5)
+        ok &= err < 2e-2
+        numw = (float(coord(q, w0 + eps)) - float(coord(q, w0 - eps))) / (2 * eps)
+        errw = abs(float(gw0[0]) - numw) / (abs(numw) + 1e-3)
+        errs[f"dw0_{n}"] = round(errw, 5)
+        ok &= errw < 2e-2
     report(f"{which}_dropout_vjp", ok, errs)
 
 
