@@ -111,36 +111,43 @@ def test_ikrl_softplus_sign_quirk():
     arr = np.array(sorted(triples), np.int64)
     store = TripleStore(arr[:, 0], arr[:, 2], arr[:, 1], N_ENT, N_REL)
 
-    gaps = {}
-    for compat in (False, True):
-        cfg = IKRLConfig(N_ENT, N_REL, dim=16, scorer="analogy",
-                         visual_dim=16)
-        model = create_ikrl(cfg)
-        tcfg = KGETrainConfig(train_times=1, lr=0.05, loss="softplus",
-                              compat_ref_softplus_sign=compat)
-        trainer = KGETrainer(model, tcfg, batch_size=20, neg_total=10)
-        sampler = NegativeSampler(store, batch_size=20, neg_ent=5, neg_rel=5,
-                                  seed=1)
-        state = trainer.init_state(jax.random.PRNGKey(0))
-        step_rng = jax.random.PRNGKey(2)
-        batch = next(iter(sampler))
-        dev = {k: jnp.asarray(batch[k])
-               for k in ("batch_h", "batch_t", "batch_r")}
-        for _ in range(60):
-            state, _ = trainer.pretrain_step(state, dict(dev), step_rng)
-        energies = model.apply(
-            {"params": state.params, "frozen": state.frozen},
-            dev["batch_h"], dev["batch_t"], dev["batch_r"],
-            jnp.zeros_like(dev["batch_h"]),
-        )
-        p, n = energies[:20], energies[20:]
-        gaps[compat] = float(jnp.mean(p) - jnp.mean(n))
+    # Pin the PRNG implementation: the CLI tests leak a global
+    # jax_default_prng_impl=unsafe_rbg when they run first, and after only
+    # 60 training steps the absolute energy gaps shift enough with the
+    # stream to cross the margins below (caught twice as an order-dependent
+    # failure: threefry-solo vs rbg-in-suite).
+    prev_impl = jax.config.jax_default_prng_impl
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    try:
+        gaps = {}
+        for compat in (False, True):
+            cfg = IKRLConfig(N_ENT, N_REL, dim=16, scorer="analogy",
+                             visual_dim=16)
+            model = create_ikrl(cfg)
+            tcfg = KGETrainConfig(train_times=1, lr=0.05, loss="softplus",
+                                  compat_ref_softplus_sign=compat)
+            trainer = KGETrainer(model, tcfg, batch_size=20, neg_total=10)
+            sampler = NegativeSampler(store, batch_size=20, neg_ent=5,
+                                      neg_rel=5, seed=1)
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            step_rng = jax.random.PRNGKey(2)
+            batch = next(iter(sampler))
+            dev = {k: jnp.asarray(batch[k])
+                   for k in ("batch_h", "batch_t", "batch_r")}
+            for _ in range(60):
+                state, _ = trainer.pretrain_step(state, dict(dev), step_rng)
+            energies = model.apply(
+                {"params": state.params, "frozen": state.frozen},
+                dev["batch_h"], dev["batch_t"], dev["batch_r"],
+                jnp.zeros_like(dev["batch_h"]),
+            )
+            p, n = energies[:20], energies[20:]
+            gaps[compat] = float(jnp.mean(p) - jnp.mean(n))
+    finally:
+        jax.config.update("jax_default_prng_impl", prev_impl)
     # The semantic claim is the *relative* direction: the corrected sign
     # drives positive-pair energies DOWN relative to the reference's
-    # inverted loss. The absolute corrected gap after 60 steps sits near
-    # zero and its sign depends on the PRNG stream (threefry solo vs the
-    # unsafe_rbg leaked by CLI tests earlier in the suite — caught as an
-    # order-dependent failure), so assert the robust margin instead.
+    # inverted loss.
     assert gaps[False] < gaps[True] - 0.05, gaps
     assert gaps[False] < 0.01, gaps
     # reference sign: positives pushed to HIGHER energy (inverted)
