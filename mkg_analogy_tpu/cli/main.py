@@ -192,6 +192,17 @@ def main(argv=None):
     from ..models.registry import IMAGE_INPUT
 
     kind, img_size = IMAGE_INPUT.get(args.model_class, ("pixels", 224))
+    if args.image_features not in (None, "", "synthetic", "synthetic_noise") \
+            and not os.path.exists(args.image_features):
+        # An explicit feature cache that doesn't exist must not silently
+        # degrade to the zero-feature baseline (open_store's fallback is
+        # for the no---image_features default only): that would train and
+        # report the wrong experiment arm.
+        raise SystemExit(
+            f"--image_features {args.image_features!r} is neither a known "
+            "synthetic mode (synthetic, synthetic_noise) nor an existing "
+            "feature-cache path"
+        )
     data = KGCDataModule(
         data_dir=args.data_dir,
         pretrain_path=args.pretrain_path or args.data_dir,
@@ -237,7 +248,7 @@ def main(argv=None):
     trainer = MarTTrainer(model, data.vocab, cfg, mesh=mesh, logger=logger)
     ckpt = Checkpointer(os.path.join(args.output_dir, "ckpt"))
 
-    if args.image_features == "synthetic" and kind == "pixels":
+    if args.image_features in ("synthetic", "synthetic_noise") and kind == "pixels":
         # Identity-signal ablation: deterministic per-entity noise images,
         # generated directly ON DEVICE (the (11292, 3, 224, 224) bf16 table
         # is ~3.4 GB — never materialized on the host or shipped over the
@@ -253,22 +264,29 @@ def main(argv=None):
         shape = (3, size, size)
 
         def _make_table():
-            # Low-frequency identity patterns, NOT white noise: each
-            # (size/7)^2 block is one per-entity Gaussian value, so the
-            # ViT-B/32 patch embedding of each (uniform) patch is a scalar
-            # times a fixed vector — a clean 3x7x7 identity code the tower
-            # can actually learn to read. (Measured: per-pixel white-noise
-            # images score BELOW the zero-image baseline — 0.225 vs 0.297
-            # test MRR — because noise-pattern discrimination from scratch
-            # is itself an unsolved subtask; see RESULTS.md.)
-            blocks = max(1, size // 32)
-            g = jax.random.normal(
-                jax.random.PRNGKey(314159), (n, 3, blocks, blocks),
-                jnp.bfloat16,
-            )
-            rep = size // blocks
-            tab = jnp.repeat(jnp.repeat(g, rep, axis=2), rep, axis=3)
-            tab = tab[:, :, :size, :size]
+            # "synthetic": low-frequency identity patterns, NOT white
+            # noise — each (size/7)^2 block is one per-entity Gaussian
+            # value, so the ViT-B/32 patch embedding of each (uniform)
+            # patch is a scalar times a fixed vector — a clean 3x7x7
+            # identity code the tower can actually learn to read.
+            # "synthetic_noise": per-pixel white noise, the high-frequency
+            # control arm. (Measured: noise scores BELOW the zero-image
+            # baseline — 0.225 vs 0.297 test MRR — because noise-pattern
+            # discrimination from scratch is itself an unsolved subtask;
+            # see RESULTS.md.)
+            if args.image_features == "synthetic_noise":
+                tab = jax.random.normal(
+                    jax.random.PRNGKey(314159), (n,) + shape, jnp.bfloat16
+                )
+            else:
+                blocks = max(1, size // 32)
+                g = jax.random.normal(
+                    jax.random.PRNGKey(314159), (n, 3, blocks, blocks),
+                    jnp.bfloat16,
+                )
+                rep = size // blocks
+                tab = jnp.repeat(jnp.repeat(g, rep, axis=2), rep, axis=3)
+                tab = tab[:, :, :size, :size]
             return jnp.concatenate(
                 [tab, jnp.zeros((1,) + shape, jnp.bfloat16)], axis=0
             )

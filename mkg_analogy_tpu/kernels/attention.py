@@ -122,7 +122,7 @@ def _hoist_geometry(bnd_ref, w_ref, mult_ref, r0_ref, r1_ref, *, lq, lk,
 
 
 def _fwd_kernel(bnd_ref, w_ref, seed_ref, mask_ref, q_ref, k_ref, v_ref,
-                out_ref, mult_ref, r0_ref, r1_ref, *, scale, rate, geometry,
+                out_ref, mult_ref=None, r0_ref=None, r1_ref=None, *, scale, rate, geometry,
                 num_heads, heads_per_cell, head_dim, deterministic,
                 out_dtype, interpret=False):
     lq, lk = q_ref.shape[1], k_ref.shape[1]
@@ -157,8 +157,8 @@ def _fwd_kernel(bnd_ref, w_ref, seed_ref, mask_ref, q_ref, k_ref, v_ref,
 
 
 def _bwd_kernel(bnd_ref, w_ref, seed_ref, mask_ref, q_ref, k_ref, v_ref,
-                g_ref, dq_ref, dk_ref, dv_ref, dw_ref, mult_ref, r0_ref,
-                r1_ref, *, scale, rate, geometry, num_heads, heads_per_cell,
+                g_ref, dq_ref, dk_ref, dv_ref, dw_ref, mult_ref=None, r0_ref=None,
+                r1_ref=None, *, scale, rate, geometry, num_heads, heads_per_cell,
                 head_dim, deterministic, out_dtype, interpret=False):
     lq, lk = q_ref.shape[1], k_ref.shape[1]
     d = head_dim
@@ -247,14 +247,18 @@ def _heads_per_cell(num_heads: int, d: int) -> int:
     return hpc
 
 
-def _specs(b, num_heads, lq, lk, d):
+def _specs(b, num_heads, lq, lk, d, geometry=None):
     """Grid (batch, head-group) + in_specs; boundary (B,), w (2,) and seed
     (1,) ride as scalar-prefetch SMEM arrays (index_maps get the scalar
     refs as trailing args, ignored). Each cell's block carries
     ``heads_per_cell`` packed heads — a 128-lane-aligned strided DMA, so
     the head split costs no VPU shuffles (Mosaic requires minor block dims
     divisible by 128 or full). Blocks carry exact logical shapes otherwise
-    — no padding, Mosaic masks ragged tile edges."""
+    — no padding, Mosaic masks ragged tile edges. The three (lq, lk) fp32
+    geometry scratch planes are only allocated when an analogy geometry is
+    present — the no-geometry path (vision tower, plain self-attention)
+    would otherwise waste 3*lq*lk*4 bytes of VMEM per cell on dead
+    buffers (the kernels then see their default ``None`` refs)."""
     hpc = _heads_per_cell(num_heads, d)
     w = hpc * d
     grid = (b, num_heads // hpc)
@@ -268,11 +272,14 @@ def _specs(b, num_heads, lq, lk, d):
         pl.BlockSpec((1, lk, w), lambda i, j, *_: (i, 0, j),
                      memory_space=pltpu.VMEM),          # v
     ]
-    scratch = [
-        pltpu.VMEM((lq, lk), jnp.float32),   # mult plane (per batch row)
-        pltpu.VMEM((lq, lk), jnp.float32),   # region0
-        pltpu.VMEM((lq, lk), jnp.float32),   # region1
-    ]
+    if geometry is not None:
+        scratch = [
+            pltpu.VMEM((lq, lk), jnp.float32),   # mult plane (per batch row)
+            pltpu.VMEM((lq, lk), jnp.float32),   # region0
+            pltpu.VMEM((lq, lk), jnp.float32),   # region1
+        ]
+    else:
+        scratch = []
     return grid, in_specs, scratch, hpc
 
 
@@ -295,7 +302,7 @@ def _fused_attention_fwd(q, k, v, mask, boundary, w, seed, num_heads, scale,
     lk = k.shape[1]
     d = hd // num_heads
     maskf = mask.astype(jnp.float32)[:, None, :]
-    grid, in_specs, scratch, hpc = _specs(b, num_heads, lq, lk, d)
+    grid, in_specs, scratch, hpc = _specs(b, num_heads, lq, lk, d, geometry)
     wblk = hpc * d
     kernel = functools.partial(
         _fwd_kernel, scale=scale, rate=rate, geometry=geometry,
@@ -327,7 +334,7 @@ def _fused_attention_bwd(num_heads, scale, rate, geometry, deterministic,
     lk = k.shape[1]
     d = hd // num_heads
     maskf = mask.astype(jnp.float32)[:, None, :]
-    grid, in_specs, scratch, hpc = _specs(b, num_heads, lq, lk, d)
+    grid, in_specs, scratch, hpc = _specs(b, num_heads, lq, lk, d, geometry)
     wblk = hpc * d
     n_cells = num_heads // hpc
     in_specs = in_specs + [

@@ -71,15 +71,18 @@ class Checkpointer:
                 return
             step, params, metrics = item
             try:
-                # A reused output directory can hold the SAME step number
-                # from an earlier run with a different architecture; orbax
-                # silently SKIPS (returns False) such a save, leaving a
-                # stale tree where this run believes it saved. Overwrite
-                # instead — pl.ModelCheckpoint's overwrite-by-name
-                # semantics (found driving the CLI against a reused
-                # output_dir).
-                if step in self._mgr.all_steps():
-                    self._mgr.delete(step)
+                # A reused output directory can hold the same — or a LATER
+                # — step number from an earlier run; orbax silently SKIPS
+                # (returns False) any save whose step is <= the directory's
+                # latest, leaving a stale tree where this run believes it
+                # saved. Within one fit steps only increase, so every
+                # existing step >= the incoming one is stale by
+                # construction: delete them and overwrite —
+                # pl.ModelCheckpoint's overwrite-by-name semantics (found
+                # driving the CLI against a reused output_dir).
+                for stale in self._mgr.all_steps():
+                    if stale >= step:
+                        self._mgr.delete(stale)
                 saved = self._mgr.save(step, args=ocp.args.StandardSave(params))
                 self._mgr.wait_until_finished()
                 if not saved:

@@ -157,3 +157,31 @@ def test_save_overwrites_stale_step(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["brand_new"]),
                                   np.full((5,), 2.0, np.float32))
     c2.close()
+
+
+def test_save_overwrites_stale_later_step(tmp_path):
+    """A reused output_dir whose previous run saved a LATER step (e.g. best
+    at step 300, new shorter run's first save at step 80): orbax's default
+    should_save refuses step <= latest, which surfaced as a RuntimeError on
+    the next flush. Stale higher steps must be deleted and the save land."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mkg_analogy_tpu.train.checkpoint import Checkpointer
+
+    d = str(tmp_path / "ckpt")
+    c1 = Checkpointer(d)
+    c1.save(300, {"params": {"w": jnp.ones((3,))}})
+    c1.close()
+
+    tree = {"params": {"w": jnp.full((3,), 7.0)}}
+    c2 = Checkpointer(d)
+    c2.save(80, tree)
+    c2.flush()
+    assert c2.saved_steps == [80]
+    restored = c2.restore(step=80, like=tree)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.full((3,), 7.0, np.float32))
+    # the stale higher step is gone: latest is this fit's save
+    assert c2.latest_step() == 80
+    c2.close()

@@ -123,9 +123,11 @@ def test_main_cli_pretrain(dataset, tmp_path):
     assert "Eval_relation/mrr" in metrics
 
 
-def test_main_cli_synthetic_images(dataset, tmp_path):
-    """--image_features synthetic builds the identity-noise table on device
-    and trains/evals end-to-end (cli/main.py synthetic branch)."""
+@pytest.mark.parametrize("mode", ["synthetic", "synthetic_noise"])
+def test_main_cli_synthetic_images(dataset, tmp_path, mode):
+    """--image_features synthetic|synthetic_noise builds the identity/noise
+    pixel table on device and trains/evals end-to-end (cli/main.py synthetic
+    branch; noise fell through to the zeros baseline before round 3)."""
     from mkg_analogy_tpu.cli.main import main
 
     root, markg_dir, mars_dir = dataset
@@ -133,7 +135,7 @@ def test_main_cli_synthetic_images(dataset, tmp_path):
         "--data_dir", mars_dir,
         "--pretrain_path", markg_dir,
         "--model_class", "MKGformerKGC",
-        "--image_features", "synthetic",
+        "--image_features", mode,
         "--max_epochs", "1",
         "--batch_size", "8",
         "--eval_batch_size", "8",
@@ -183,6 +185,36 @@ def test_main_cli_synthetic_regions(dataset, tmp_path, mode):
     ])
     assert "Eval_entity/mrr" in metrics
     assert 0 < metrics["Eval_entity/mrr"] <= 1
+
+
+def test_main_cli_missing_feature_path_errors(dataset, tmp_path):
+    """An explicit --image_features path that doesn't exist must fail loudly,
+    not silently train the zero-feature baseline (open_store's zeros
+    fallback is for the no-flag default only)."""
+    from mkg_analogy_tpu.cli.main import main
+
+    root, markg_dir, mars_dir = dataset
+    with pytest.raises(SystemExit, match="image_features"):
+        main([
+            "--data_dir", mars_dir,
+            "--pretrain_path", markg_dir,
+            "--model_class", "MKGformerKGC",
+            "--image_features", str(tmp_path / "no_such_cache.npz"),
+            "--max_epochs", "1",
+            "--batch_size", "8",
+            "--eval_batch_size", "8",
+            "--max_seq_length", "48",
+            "--text_vocab_size", "256",
+            "--hidden_size", "32",
+            "--num_layers", "2",
+            "--num_heads", "2",
+            "--intermediate_size", "64",
+            "--dtype", "float32",
+            "--dp", "8",
+            "--output_dir", str(tmp_path / "out"),
+            "--log_dir", str(tmp_path / "logs"),
+            "--cache_dir", str(tmp_path / "cache"),
+        ])
 
 
 def test_limit_train_batches_int_vs_fraction():

@@ -40,103 +40,18 @@ def patch_convpatch():
 
 
 def patch_smalladam(threshold=8192):
-    """AdamW with every small leaf (size <= threshold: biases, LN scales,
-    adaptive weights — ~500 of the ~700 leaves) updated as ONE concatenated
-    fp32 vector. The step HLO shows ~2.6k async copy-starts of f32[768]-
-    class tensors (params + adam mu/nu staging) whose per-DMA dispatch
-    overhead is ~5% of device time; this collapses their optimizer-side
-    share into a handful of fused ops. Big leaves keep the per-leaf update
-    (they are few and bandwidth-bound anyway). Numerics match optax.adamw
-    (same scale_by_adam -> add_decayed_weights -> -lr(count) order)."""
-    import optax
+    """Route the trainer through the productized fused small-leaf AdamW
+    (train/optim.fused_adamw, shipped behind --fused_adamw): every small
+    leaf (size <= threshold: biases, LN scales, adaptive weights — ~500 of
+    the ~700 leaves) is updated as ONE concatenated fp32 vector, collapsing
+    ~2.6k per-leaf DMA dispatches. This patch used to carry its own copy of
+    that logic; it now delegates so the bench variant always measures the
+    exact math --fused_adamw ships."""
+    import functools
 
-    from mkg_analogy_tpu.train import trainer as tr
-    from mkg_analogy_tpu.train.optim import (
-        linear_warmup_linear_decay,
-        no_decay_mask,
-    )
+    from mkg_analogy_tpu.train import optim, trainer as tr
 
-    def make_optimizer(lr, total_steps, warmup_ratio=0.1, weight_decay=0.01,
-                       eps=1e-8, grad_accum_steps=1, max_grad_norm=None,
-                       params_example=None, **_ignored):
-        schedule = linear_warmup_linear_decay(lr, total_steps, warmup_ratio)
-        b1, b2 = 0.9, 0.999
-
-        def split(tree):
-            leaves, treedef = jax.tree_util.tree_flatten(tree)
-            small = [i for i, x in enumerate(leaves) if x.size <= threshold]
-            big = [i for i, x in enumerate(leaves) if x.size > threshold]
-            return leaves, treedef, small, big
-
-        def init_fn(params):
-            leaves, treedef, small, big = split(params)
-            decay_tree = no_decay_mask(params)
-            dleaves = jax.tree_util.tree_leaves(decay_tree)
-            svec = jnp.concatenate(
-                [leaves[i].reshape(-1).astype(jnp.float32) for i in small]
-            )
-            sdecay = np.concatenate(
-                [np.full(leaves[i].size, float(dleaves[i]), np.float32)
-                 for i in small]
-            )
-            return {
-                "count": jnp.zeros([], jnp.int32),
-                "smu": jnp.zeros_like(svec),
-                "snu": jnp.zeros_like(svec),
-                "sdecay": jnp.asarray(sdecay),
-                "bmu": [jnp.zeros_like(leaves[i]) for i in big],
-                "bnu": [jnp.zeros_like(leaves[i]) for i in big],
-            }
-
-        def update_fn(updates, state, params):
-            gleaves, treedef, small, big = split(updates)
-            pleaves = jax.tree_util.tree_leaves(params)
-            dleaves = jax.tree_util.tree_leaves(no_decay_mask(params))
-            count = state["count"] + 1
-            cf = count.astype(jnp.float32)
-            bc1 = 1.0 - b1 ** cf
-            bc2 = 1.0 - b2 ** cf
-            neg_lr = -schedule(state["count"])
-
-            # --- small partition: one fused vector update
-            sg = jnp.concatenate(
-                [gleaves[i].reshape(-1).astype(jnp.float32) for i in small]
-            )
-            sp = jnp.concatenate(
-                [pleaves[i].reshape(-1).astype(jnp.float32) for i in small]
-            )
-            smu = b1 * state["smu"] + (1.0 - b1) * sg
-            snu = b2 * state["snu"] + (1.0 - b2) * sg * sg
-            supd = (smu / bc1) / (jnp.sqrt(snu / bc2) + eps)
-            supd = neg_lr * (supd + weight_decay * state["sdecay"] * sp)
-            new = list(gleaves)
-            off = 0
-            for i in small:
-                sz = gleaves[i].size
-                new[i] = supd[off:off + sz].reshape(gleaves[i].shape)
-                off += sz
-
-            # --- big partition: standard per-leaf adam
-            bmu, bnu = [], []
-            for j, i in enumerate(big):
-                g = gleaves[i]
-                mu = b1 * state["bmu"][j] + (1.0 - b1) * g
-                nu = b2 * state["bnu"][j] + (1.0 - b2) * g * g
-                upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
-                if dleaves[i]:
-                    upd = upd + weight_decay * pleaves[i]
-                new[i] = neg_lr * upd
-                bmu.append(mu)
-                bnu.append(nu)
-
-            out = jax.tree_util.tree_unflatten(treedef, new)
-            nstate = dict(state, count=count, smu=smu, snu=snu,
-                          bmu=bmu, bnu=bnu)
-            return out, nstate
-
-        return optax.GradientTransformation(init_fn, update_fn)
-
-    tr.make_optimizer = make_optimizer
+    tr.make_optimizer = functools.partial(optim.make_optimizer, fused=True)
 
 
 def patch_tdense():
