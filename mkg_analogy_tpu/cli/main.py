@@ -134,6 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host_gather", action="store_true", default=False,
                    help="gather image features on host per batch (reference-"
                         "style) instead of the device-resident table")
+    p.add_argument("--xla_opt", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="extra XLA backend option(s) for every jitted "
+                        "function (repeatable), e.g. --xla_opt "
+                        "xla_tpu_scoped_vmem_limit_kib=65536; unknown keys "
+                        "fail at compile time (tools/bench_opts.py --copt "
+                        "is the sweep harness)")
     p.add_argument("--prng", type=str, default="unsafe_rbg",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
                    help="JAX PRNG impl; rbg variants are ~20%% faster "
@@ -242,6 +249,8 @@ def main(argv=None):
         # (lit_models/base.py:79-82) — resolved in MarTTrainer.fit
         limit_train_batches=args.limit_train_batches or None,
         fused_adamw=args.fused_adamw,
+        compiler_options=dict(kv.partition("=")[::2] for kv in args.xla_opt)
+        or None,
     )
     logger = MetricLogger(args.log_dir, wandb=args.wandb,
                           config=vars(args) if args.wandb else None)

@@ -69,6 +69,10 @@ class TrainConfig:
     # opt-in like the reference.
     track_grad_norm: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 5..10
+    # Extra XLA backend options applied to every jitted function (CLI
+    # --xla_opt k=v, repeatable). Winners from the tools/bench_opts.py
+    # --copt sweeps get shipped here; unknown keys fail at compile time.
+    compiler_options: Optional[dict] = None
     # pl parity: float in (0,1] = epoch fraction; int = exact batch count
     limit_train_batches: Optional[float] = None
     # Vector-fused small-leaf AdamW (optim.fused_adamw): numerically
@@ -325,7 +329,10 @@ class MarTTrainer:
     # -------------------------------------------------------------- jit plumbing
     def _get_jitted(self, name, fn, donate=()):
         if name not in self._jitted:
-            self._jitted[name] = jax.jit(fn, donate_argnums=donate)
+            self._jitted[name] = jax.jit(
+                fn, donate_argnums=donate,
+                compiler_options=self.config.compiler_options or None,
+            )
         return self._jitted[name]
 
     def _prefetch(self, iterable, transform, lookahead: int = 2):

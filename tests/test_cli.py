@@ -187,6 +187,38 @@ def test_main_cli_synthetic_regions(dataset, tmp_path, mode):
     assert 0 < metrics["Eval_entity/mrr"] <= 1
 
 
+def test_main_cli_xla_opt_passthrough(dataset, tmp_path):
+    """--xla_opt k=v reaches XLA for every jitted trainer function
+    (TrainConfig.compiler_options): verified via xla_dump_to producing
+    compile artifacts; a bogus key would instead fail at compile time."""
+    from mkg_analogy_tpu.cli.main import main
+
+    root, markg_dir, mars_dir = dataset
+    dump = tmp_path / "xladump"
+    metrics = main([
+        "--data_dir", mars_dir,
+        "--pretrain_path", markg_dir,
+        "--model_class", "MKGformerKGC",
+        "--xla_opt", f"xla_dump_to={dump}",
+        "--max_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--max_seq_length", "48",
+        "--text_vocab_size", "256",
+        "--hidden_size", "32",
+        "--num_layers", "2",
+        "--num_heads", "2",
+        "--intermediate_size", "64",
+        "--dtype", "float32",
+        "--dp", "8",
+        "--output_dir", str(tmp_path / "out"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--cache_dir", str(tmp_path / "cache"),
+    ])
+    assert "Eval_entity/mrr" in metrics
+    assert dump.exists() and any(dump.iterdir())
+
+
 def test_main_cli_missing_feature_path_errors(dataset, tmp_path):
     """An explicit --image_features path that doesn't exist must fail loudly,
     not silently train the zero-feature baseline (open_store's zeros
