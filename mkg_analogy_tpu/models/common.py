@@ -75,10 +75,15 @@ FUSED_BACKEND = "single"
 USE_FUSED_QKV = False
 
 
-def set_fused_attention(enabled: bool, interpret: bool = False,
+def set_fused_attention(enabled: bool, interpret: Optional[bool] = None,
                         backend: str = "single") -> None:
+    """``interpret=None`` auto-detects: Pallas has no CPU lowering, so on
+    the CPU backend (tests, offline runs) the kernels run interpreted;
+    anything else (TPU, incl. the "axon" tunnel platform) compiles."""
     global USE_FUSED_ATTENTION, FUSED_INTERPRET, FUSED_BACKEND
     assert backend in ("single", "flash"), backend
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     USE_FUSED_ATTENTION = enabled
     FUSED_INTERPRET = interpret
     FUSED_BACKEND = backend

@@ -187,6 +187,42 @@ def test_main_cli_synthetic_regions(dataset, tmp_path, mode):
     assert 0 < metrics["Eval_entity/mrr"] <= 1
 
 
+def test_main_cli_flash_attention_dp8(dataset, tmp_path):
+    """--fused_attention flash end-to-end under the dp=8 mesh: the CLI's
+    set_fused_attention now auto-selects interpret mode on the CPU backend
+    (Pallas has no CPU lowering — this crashed before round 3), and the
+    kernel composes with sharded batches (grid dim 0 is batch)."""
+    from mkg_analogy_tpu.cli.main import main
+    from mkg_analogy_tpu.models import common
+
+    root, markg_dir, mars_dir = dataset
+    try:
+        metrics = main([
+            "--data_dir", mars_dir,
+            "--pretrain_path", markg_dir,
+            "--model_class", "MKGformerKGC",
+            "--fused_attention", "flash",
+            "--max_epochs", "1",
+            "--batch_size", "8",
+            "--eval_batch_size", "8",
+            "--max_seq_length", "48",
+            "--text_vocab_size", "256",
+            "--hidden_size", "32",
+            "--num_layers", "2",
+            "--num_heads", "2",
+            "--intermediate_size", "64",
+            "--dtype", "float32",
+            "--dp", "8",
+            "--output_dir", str(tmp_path / "out"),
+            "--log_dir", str(tmp_path / "logs"),
+            "--cache_dir", str(tmp_path / "cache"),
+        ])
+    finally:
+        common.set_fused_attention(False)
+    assert "Eval_entity/mrr" in metrics
+    assert 0 < metrics["Eval_entity/mrr"] <= 1
+
+
 def test_main_cli_xla_opt_passthrough(dataset, tmp_path):
     """--xla_opt k=v reaches XLA for every jitted trainer function
     (TrainConfig.compiler_options): verified via xla_dump_to producing
