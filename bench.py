@@ -51,7 +51,37 @@ WARMUP = 5
 STEPS = 30
 
 
+def _watchdog(seconds: float = 1500.0):
+    """The TPU sits behind a tunnel relay that can die (observed mid-round:
+    every client blocks forever in its connect/retry loop). A hung bench is
+    worse than a failed one — emit an error JSON and hard-exit instead.
+    Budget: cold compile ≈ 2-5 min, the timed 30 steps ≈ 2 s."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "MARS finetune MKGformer train-step throughput",
+                    "value": 0.0,
+                    "unit": "examples/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"watchdog: no result within {seconds:.0f}s "
+                    "(TPU tunnel unreachable?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _watchdog()
     from __graft_entry__ import _synthetic_batch
     from mkg_analogy_tpu.core.mesh import make_mesh
     from mkg_analogy_tpu.models.unimo import TextConfig, UnimoConfig, UnimoForMaskedLM
@@ -92,6 +122,7 @@ def main():
 
     n_chips = jax.device_count()
     examples_per_sec_per_chip = BATCH_SIZE * STEPS / dt / n_chips
+    watchdog.cancel()
     print(
         json.dumps(
             {
