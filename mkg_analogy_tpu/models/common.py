@@ -66,6 +66,12 @@ FUSED_INTERPRET = False  # interpret-mode kernel (CPU testing)
 # at short L but VMEM-bound past L~512); "flash" -> kernels/flash_attention.py
 # (online-softmax over K tiles, scales to arbitrary L).
 FUSED_BACKEND = "single"
+# Sequences at or above this length auto-route to the flash kernel even
+# without --fused_attention: measured on v5e-1 it beats the XLA einsum path
+# from L=512 (2.1x at 512 with dropout, 1.9x at 1024, only survivor at
+# 2048 — RESULTS.md); the recipe point L=128 stays on XLA, which wins
+# there. Set to a large value to disable.
+FLASH_AUTO_MIN_LEN = 512
 
 # Bench-only experiment: project Q/K/V with one (H, 3*inner) GEMM instead
 # of three (H, inner) GEMMs. Changes the param tree ("qkv" replaces
@@ -161,8 +167,14 @@ class AttentionCore(nn.Module):
                 assert attention_bias is None
                 attention_bias = jnp.concatenate([extra_kv_bias, zeros], axis=-1)
 
-        if USE_FUSED_ATTENTION:
-            ctx = self._fused(q, k, v, attention_bias, analogy, deterministic)
+        if USE_FUSED_ATTENTION or l >= FLASH_AUTO_MIN_LEN:
+            # Long sequences auto-route to the K-blocked flash kernel: it
+            # beats the XLA einsums from L=512 up and is the only path
+            # standing at L>=2048 (measured fwd+bwd on v5e-1 — RESULTS.md
+            # "Long-sequence headroom"); the recipe point L=128 stays on
+            # the XLA path, which wins there.
+            ctx = self._fused(q, k, v, attention_bias, analogy, deterministic,
+                              force_flash=not USE_FUSED_ATTENTION)
         else:
             ctx = self._einsum(q, k, v, attention_bias, analogy, deterministic)
         ctx = ctx.reshape(b, l, inner)
@@ -235,8 +247,9 @@ class AttentionCore(nn.Module):
         )
         return core(q, k, v, attention_bias, analogy_arrs, key)
 
-    def _fused(self, q, k, v, attention_bias, analogy, deterministic):
-        if FUSED_BACKEND == "flash":
+    def _fused(self, q, k, v, attention_bias, analogy, deterministic,
+               force_flash=False):
+        if force_flash or FUSED_BACKEND == "flash":
             from ..kernels.flash_attention import flash_attention as kernel
         else:
             from ..kernels.attention import fused_attention as kernel
@@ -284,7 +297,11 @@ class AttentionCore(nn.Module):
             q, k, v, mask, self.num_heads,
             dropout_rate=rate, deterministic=deterministic,
             dropout_seed=seed, compute_dtype=self.dtype,
-            interpret=FUSED_INTERPRET, **kwargs,
+            # the auto-routed long-L path reaches here without any
+            # set_fused_attention call, so detect the CPU backend (no
+            # Pallas lowering) at the call site too
+            interpret=FUSED_INTERPRET or jax.default_backend() == "cpu",
+            **kwargs,
         )
         return ctx.reshape(b, lq, self.num_heads, self.head_dim)
 

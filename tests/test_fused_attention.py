@@ -135,3 +135,44 @@ def test_attention_core_fused_flag_equivalence():
     finally:
         common.set_fused_attention(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_attention_core_flash_autoroute_long_seq():
+    """Sequences >= FLASH_AUTO_MIN_LEN route to the flash kernel WITHOUT
+    any set_fused_attention call (measured winner from L=512 on v5e-1,
+    RESULTS.md), and the output matches the einsum path. The threshold is
+    lowered for test speed (interpret-mode kernels are slow); the routing
+    logic `l >= FLASH_AUTO_MIN_LEN` is what's under test."""
+    from mkg_analogy_tpu.models import common
+    from mkg_analogy_tpu.ops.masks import attention_bias as ab
+
+    B, L = 2, 16
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((B, L, H * D)), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[:, 14:] = 0
+    bias = ab(jnp.asarray(mask))
+    core = common.AttentionCore(num_heads=H, head_dim=D, dtype=jnp.float32)
+    analogy = (jnp.asarray([5, 7]), jnp.asarray([0.25]), jnp.asarray([0.6]),
+               0, None, 0)
+    params = core.init(jax.random.PRNGKey(0), x, attention_bias=bias,
+                       analogy=analogy)
+    want, _ = core.apply(params, x, attention_bias=bias, analogy=analogy)
+    saved = common.FLASH_AUTO_MIN_LEN
+    calls = []
+    from mkg_analogy_tpu.kernels import flash_attention as fa
+    orig = fa.flash_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    try:
+        common.FLASH_AUTO_MIN_LEN = L
+        fa.flash_attention = spy
+        got, _ = core.apply(params, x, attention_bias=bias, analogy=analogy)
+    finally:
+        common.FLASH_AUTO_MIN_LEN = saved
+        fa.flash_attention = orig
+    assert calls, "flash kernel was not auto-routed at L >= threshold"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
