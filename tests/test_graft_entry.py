@@ -19,3 +19,33 @@ def test_synthetic_batch_invariants():
     assert (np.diff(b["sep_idx"], axis=1) >= 0).all()
     assert (b["mask_idx"] < 32).all()
     assert (b["label"] < 40).all()
+
+
+def test_bench_watchdog_fires_with_error_json():
+    """bench.py must never hang the driver: if the TPU tunnel is
+    unreachable (the relay died mid-round once), the watchdog emits an
+    error JSON line and hard-exits nonzero within its budget."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, time, importlib.util\n"
+        "sys.path.insert(0, '.')\n"
+        "spec = importlib.util.spec_from_file_location('benchmod', 'bench.py')\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        "m._watchdog(0.5)\n"
+        "time.sleep(10)\n"
+        "print('watchdog failed to fire')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, cwd=".",
+    )
+    assert r.returncode == 3, (r.returncode, r.stdout, r.stderr)
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["value"] == 0.0 and "watchdog" in out["error"]
