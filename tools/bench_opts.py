@@ -1,12 +1,24 @@
-"""Perf experiments round 2: candidate optimizations measured on the real
-train step (monkeypatched variants; the winners get productized).
+"""Perf experiment harness: candidate optimizations measured on the real
+full-size train step (monkeypatched variants; winners get productized —
+measured verdicts live in RESULTS.md "MFU experiment ledger").
 
 Variants:
-  base      — current code
-  qkv       — fused QKV projection (one (H, 3H) matmul, split heads after)
-  convpatch — patch embed via lax.conv_general_dilated NCHW (no host-visible
-              transpose copy) instead of reshape+matmul
-  both      — qkv + convpatch
+  base        — current production code
+  qkv         — fused QKV projection (one (H, 3H) GEMM; param tree changes)
+  convpatch   — patch embed via lax.conv NCHW instead of reshape+matmul
+  fused/flashattn — Pallas attention kernels (single-block / K-blocked flash)
+  nognorm     — drop the per-step grad-norm metric (now the default)
+  smalladam   — vector-fused small-leaf AdamW (productized as --fused_adamw)
+  bf16mu/bf16mom — AdamW first / both moment(s) stored in bf16
+  bf16stage   — params cast to bf16 once per step outside jax.grad
+  tdense      — pre-transposed Dense kernels (wgrad layout experiment)
+  gelutanh/geluexact — force tanh / exact-erf gelu (tanh is the bf16
+                default since round 3; geluexact prices the erf tail)
+  remat_probs — save post-dropout attention probs instead of recomputing
+  vmem<KiB>   — xla_tpu_scoped_vmem_limit_kib sweep
+  --copt k=v  — arbitrary XLA compiler-option passthrough (repeatable);
+                winners ship via the CLI --xla_opt flag
+Combos join with "+" (e.g. qkv+smalladam+nognorm).
 """
 from __future__ import annotations
 
