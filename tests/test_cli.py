@@ -123,6 +123,48 @@ def test_main_cli_pretrain(dataset, tmp_path):
     assert "Eval_relation/mrr" in metrics
 
 
+def test_main_cli_analogy_pretrain_then_finetune(dataset, tmp_path):
+    """--pretrain_format analogy (pseudo-analogy MarKG pretraining in the
+    finetune prompt layout, data/prompt.py build_pseudo_analogy_features)
+    end-to-end, then a finetune restoring its checkpoint — the chained path
+    of scripts/run_pretrain_analogy.sh (the missing `/ckpt` suffix on the
+    restore once silently broke the real A/B arm)."""
+    from mkg_analogy_tpu.cli.main import main
+
+    root, markg_dir, mars_dir = dataset
+    base = [
+        "--data_dir", mars_dir,
+        "--pretrain_path", markg_dir,
+        "--model_class", "MKGformerKGC",
+        "--max_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--max_seq_length", "48",
+        "--text_vocab_size", "256",
+        "--hidden_size", "32",
+        "--num_layers", "2",
+        "--num_heads", "2",
+        "--intermediate_size", "64",
+        "--dtype", "float32",
+        "--dp", "8",
+        "--log_dir", str(tmp_path / "logs"),
+        "--cache_dir", str(tmp_path / "cache"),
+    ]
+    pt = main(base + [
+        "--pretrain", "1", "--pretrain_format", "analogy",
+        "--output_dir", str(tmp_path / "pt"),
+    ])
+    # analogy-format pretrain is masked-entity only (full MarKG range):
+    # entity ranks, no relation ranks
+    assert "Eval_entity/mrr" in pt
+    assert "Eval_relation/mrr" not in pt
+    ft = main(base + [
+        "--checkpoint", str(tmp_path / "pt" / "ckpt"),
+        "--output_dir", str(tmp_path / "ft"),
+    ])
+    assert 0 < ft["Eval_entity/mrr"] <= 1
+
+
 @pytest.mark.parametrize("mode", ["synthetic", "synthetic_noise"])
 def test_main_cli_synthetic_images(dataset, tmp_path, mode):
     """--image_features synthetic|synthetic_noise builds the identity/noise
