@@ -157,11 +157,99 @@ def check_dropout(which, b=8, l=128, rate=0.25, **over):
         err = abs(got - num) / (abs(num) + 1e-3)
         errs[f"dq{n}"] = round(err, 5)
         ok &= err < 2e-2
+        # dw0 FD is reported but NOT gated: a single coordinate's w0
+        # derivative is ~1e-3 while fp32 forward round-off gives the
+        # central difference a noise floor of ~5e-4 at eps=1e-2 — the
+        # probe is noise-limited for this operand. The authoritative w0
+        # test is check_dropout_exact (AD vs AD on the extracted mask),
+        # where single-kernel dw0 agrees to 0.0.
         numw = (float(coord(q, w0 + eps)) - float(coord(q, w0 - eps))) / (2 * eps)
         errw = abs(float(gw0[0]) - numw) / (abs(numw) + 1e-3)
-        errs[f"dw0_{n}"] = round(errw, 5)
-        ok &= errw < 2e-2
+        errs[f"dw0_{n}_fd_noise"] = round(errw, 5)
     report(f"{which}_dropout_vjp", ok, errs)
+
+
+def check_dropout_exact(which, b=4, l=384, rate=0.25, **over):
+    """Definitive dropout-VJP check (AD vs AD, no finite-difference noise).
+
+    The keep-mask is a pure function of (seed, shapes, tile layout) — it
+    never depends on q/k/v. So it can be *extracted* from the hardware:
+    with q = 0 every score row is uniform over the valid columns
+    (p = 1/n_valid), and a probe v that routes column g*D+j of head h to
+    output coordinate h*D+j reads back keep*inv directly. With the exact
+    hardware mask in hand, an XLA reference applying that same mask is
+    differentiable end-to-end, and kernel-autodiff vs XLA-autodiff of the
+    *identical function* must agree to fp32 round-off for ALL grads
+    (q, k, v, w0, w1) — including the adaptive scalars whose per-coordinate
+    finite-difference probe is noise-limited (derivative ~1e-3 vs fp32 FD
+    resolution ~5e-4 at eps=1e-2)."""
+    q, k, v, mask = make(b, l, dtype=jnp.float32)
+    bnd = jnp.full((b,), l // 3, jnp.int32)
+    w0 = jnp.asarray([0.3]); w1 = jnp.asarray([0.7])
+    fn = kernel_fn(which, **over)
+    s0 = jnp.asarray(99, jnp.int32)
+    inv = 1.0 / (1.0 - rate)
+
+    def run(q, k, v, w0, w1):
+        return fn(q, k, v, mask, boundary=bnd, w0=w0, w1=w1, text_len=l,
+                  dropout_rate=rate, deterministic=False, dropout_seed=s0,
+                  compute_dtype=jnp.float32)
+
+    runj = jax.jit(run)
+    # --- extract the hardware keep-mask with zero-q probes ---
+    n_valid = l - 7  # make() zeroes the last 7 columns of the pad mask
+    qz = jnp.zeros_like(q)
+    keep = np.zeros((b, H, l, l), bool)
+    groups = (l + D - 1) // D
+    for g in range(groups):
+        vg = np.zeros((l, H * D), np.float32)
+        for j in range(min(D, l - g * D)):
+            vg[g * D + j, j::D] = float(n_valid)  # column j of every head
+        out = np.asarray(runj(qz, k, jnp.broadcast_to(jnp.asarray(vg), v.shape),
+                              w0, w1))
+        for h in range(H):
+            width = min(D, l - g * D)
+            keep[:, h, :, g * D:g * D + width] = (
+                out[:, :, h * D:h * D + width] > 0.5 * inv)
+    frac = keep[:, :, :, :n_valid].mean()
+    keepj = jnp.asarray(keep)
+
+    def ref(q, k, v, w0, w1):
+        qh = q.reshape(b, l, H, D).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, l, H, D).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, l, H, D).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * (D ** -0.5)
+        mult = analogy_score_multiplier(bnd, l, w0, w1, text_len=l,
+                                        row_start=0)
+        scores = scores * mult + attention_bias(mask)
+        probs = jax.nn.softmax(scores, axis=-1)
+        pd = jnp.where(keepj, probs * inv, 0.0)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", pd, vh)
+        return ctx.transpose(0, 2, 1, 3).reshape(b, l, H * D)
+
+    got = np.asarray(runj(q, k, v, w0, w1))
+    want = np.asarray(jax.jit(ref)(q, k, v, w0, w1))
+    fwd_rel = float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-6))
+    g_np = np.random.default_rng(5).standard_normal(got.shape).astype(np.float32)
+    ct = jnp.asarray(g_np)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) * ct)
+
+    gk = jax.jit(jax.grad(loss(run), argnums=(0, 1, 2, 3, 4)))(q, k, v, w0, w1)
+    gr = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2, 3, 4)))(q, k, v, w0, w1)
+    # Tolerance is set by hardware, not by the kernels: fp32 matmuls run on
+    # the MXU as bf16 passes at default precision (~4e-3 relative), and the
+    # kernel and the XLA reference contract in different orders. Measured:
+    # single-kernel dw0/dw1 agree to 0.0, everything else lands 1e-4..5e-3.
+    errs, ok = {"fwd": round(fwd_rel, 7), "keep_frac": round(float(frac), 4)}, True
+    ok &= fwd_rel < 1e-2 and abs(frac - (1 - rate)) < 0.02
+    for name, a, bb in zip(("dq", "dk", "dv", "dw0", "dw1"), gk, gr):
+        e = float(jnp.max(jnp.abs(a - bb)))
+        rel = e / (float(jnp.max(jnp.abs(bb))) + 1e-6)
+        errs[name] = round(rel, 6)
+        ok &= rel < 1e-2
+    report(f"{which}_dropout_exact_L{l}", ok, errs)
 
 
 if __name__ == "__main__":
@@ -172,6 +260,21 @@ if __name__ == "__main__":
     check_deterministic("flash", l=384, block_q=128, block_k=128)
     check_deterministic("flash", l=320, block_q=128, block_k=128)  # ragged
     check_dropout("flash", l=384, block_q=128, block_k=128)
+    # The production auto-route region (models/common.py FLASH_AUTO_MIN_LEN):
+    # fwd + VJP, with and without dropout, at L in {512, 1024, 2048}
+    # (VERDICT r3 item 3).
+    check_deterministic("flash", l=512, block_q=128, block_k=128)
+    check_dropout("flash", l=512, block_q=128, block_k=128)
+    check_deterministic("flash", b=4, l=1024, block_q=256, block_k=256)
+    check_dropout("flash", b=4, l=1024, block_q=256, block_k=256)
     check_deterministic("flash", b=2, l=2048, block_q=256, block_k=512)
+    check_dropout("flash", b=2, l=2048, block_q=256, block_k=512)
+    # Exact same-mask VJP verification (extracted hardware dropout mask).
+    check_dropout_exact("single", b=4, l=128)
+    check_dropout_exact("flash", b=4, l=128)
+    check_dropout_exact("flash", b=4, l=384, block_q=128, block_k=128)
+    check_dropout_exact("flash", b=2, l=512, block_q=128, block_k=128)
+    check_dropout_exact("flash", b=2, l=1024, block_q=256, block_k=256)
+    check_dropout_exact("flash", b=1, l=2048, block_q=256, block_k=512)
     print(json.dumps({"failed": FAILED}))
     sys.exit(1 if FAILED else 0)
