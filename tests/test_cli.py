@@ -165,6 +165,51 @@ def test_main_cli_analogy_pretrain_then_finetune(dataset, tmp_path):
     assert 0 < ft["Eval_entity/mrr"] <= 1
 
 
+def test_main_cli_curriculum_chain(dataset, tmp_path):
+    """Triple-format pretrain -> analogy-format pretrain restoring its
+    checkpoint -> finetune restoring THAT checkpoint: the curriculum chain
+    of scripts/experiments/r4_quality_from_zero.sh stages C0->C1->C2. The
+    middle hop is a pretrain->pretrain restore (same param tree, full
+    overlap through partial_restore) that no other test exercises."""
+    from mkg_analogy_tpu.cli.main import main
+
+    root, markg_dir, mars_dir = dataset
+    base = [
+        "--data_dir", mars_dir,
+        "--pretrain_path", markg_dir,
+        "--model_class", "MKGformerKGC",
+        "--max_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--max_seq_length", "48",
+        "--text_vocab_size", "256",
+        "--hidden_size", "32",
+        "--num_layers", "2",
+        "--num_heads", "2",
+        "--intermediate_size", "64",
+        "--dtype", "float32",
+        "--dp", "8",
+        "--log_dir", str(tmp_path / "logs"),
+        "--cache_dir", str(tmp_path / "cache"),
+    ]
+    c0 = main(base + [
+        "--pretrain", "1", "--pretrain_format", "triple",
+        "--output_dir", str(tmp_path / "c0"),
+    ])
+    assert "Eval_relation/mrr" in c0  # triple format trains both ranges
+    c1 = main(base + [
+        "--pretrain", "1", "--pretrain_format", "analogy",
+        "--checkpoint", str(tmp_path / "c0" / "ckpt"),
+        "--output_dir", str(tmp_path / "c1"),
+    ])
+    assert "Eval_entity/mrr" in c1 and "Eval_relation/mrr" not in c1
+    ft = main(base + [
+        "--checkpoint", str(tmp_path / "c1" / "ckpt"),
+        "--output_dir", str(tmp_path / "ft"),
+    ])
+    assert 0 < ft["Eval_entity/mrr"] <= 1
+
+
 @pytest.mark.parametrize("mode", ["synthetic", "synthetic_noise"])
 def test_main_cli_synthetic_images(dataset, tmp_path, mode):
     """--image_features synthetic|synthetic_noise builds the identity/noise
