@@ -299,16 +299,28 @@ class MarTTrainer:
             metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    def _shard_eval_logits(self, logits):
+        """Keep the all-vocab eval decoder matmul tp-sharded (SURVEY §2.4:
+        eval ranking as sharded matmul + psum). Without this constraint
+        GSPMD gathers the sliced ~11k-row decoder table and computes the
+        full (B, V) logits replicated per dp shard; with it the matmul
+        stays on the table's native P("tp") shards and the rank
+        reductions in ranks_from_scores lower to psums over tp. No-op on
+        a 1x1 mesh (the single real chip)."""
+        return jax.lax.with_sharding_constraint(
+            logits, NamedSharding(self.mesh, P("dp", "tp"))
+        )
+
     def _eval_step(self, params, batch, image_table=None):
         v = self.vocab
         inputs = self._model_inputs(batch, train=False, image_table=image_table)
         trans = self.model.apply(params, **inputs, deterministic=True)
         if self.config.pretrain and not self.config.analogy_pretrain:
-            logits = self.model.apply(
+            logits = self._shard_eval_logits(self.model.apply(
                 params, trans[:, 0],
                 vocab_start=v.entity_id_st, vocab_end=v.relation_id_ed,
                 method=type(self.model).logits,
-            )
+            ))
             n_ent = v.entity_id_ed - v.entity_id_st
             ent_ranks = ranks_from_scores(logits[:, :n_ent], batch["label"])
             # labels mix entity indices (pre_type 0/1) and relation indices
@@ -322,6 +334,11 @@ class MarTTrainer:
             return {"ranks": jnp.where(is_rel, rel_ranks, ent_ranks),
                     "is_rel": is_rel, "valid": batch["valid"]}
         logits = self._answer_logits(params, trans[:, 0])
+        if self.config.analogy_pretrain:
+            # full MarKG entity range (~11k) — same sharded-ranking win as
+            # the triple-pretrain branch; the 2,063-entity finetune eval is
+            # left alone (gathered rows, small matmul).
+            logits = self._shard_eval_logits(logits)
         ranks = ranks_from_scores(logits, batch["label"])
         return {"ranks": ranks, "is_rel": jnp.zeros_like(ranks, bool),
                 "valid": batch["valid"]}

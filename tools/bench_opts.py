@@ -15,6 +15,9 @@ Variants:
   gelutanh/geluexact — force tanh / exact-erf gelu (tanh is the bf16
                 default since round 3; geluexact prices the erf tail)
   remat_probs — save post-dropout attention probs instead of recomputing
+  autolayout  — XLA AUTO in/out layouts on the donated train state
+                (compiler-chosen weight/moment layouts; targets the
+                copy-done staging tail)
   vmem<KiB>   — xla_tpu_scoped_vmem_limit_kib sweep
   --copt k=v  — arbitrary XLA compiler-option passthrough (repeatable);
                 winners ship via the CLI --xla_opt flag
@@ -393,6 +396,44 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), batch, total_steps=1000)
     step = jax.jit(trainer._train_step, donate_argnums=0)
     rng = jax.random.PRNGKey(1)
+    if args.variant == "autolayout":
+        # Let XLA pick the on-HBM layout of every state leaf (weights,
+        # AdamW moments) instead of the default major-to-minor order: if
+        # the program wants a kernel transposed, AUTO stores it that way
+        # and the per-step entry/exit relayout copies disappear — aimed at
+        # the 5.7% copy-done tail (tools/attr_trace.py). The state is
+        # re-device_put once into the compiler-chosen formats; donation
+        # keeps in/out layouts aliased.
+        from jax.experimental.layout import Format, Layout
+
+        step = jax.jit(
+            trainer._train_step,
+            donate_argnums=0,
+            in_shardings=Format(Layout.AUTO),
+            out_shardings=Format(Layout.AUTO),
+        )
+
+        def _sds(t):
+            def f(x):
+                x = jnp.asarray(x) if not hasattr(x, "shape") else x
+                return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+            return jax.tree_util.tree_map(f, t)
+
+        with mesh:
+            db0 = trainer._put_batch(batch)
+            compiled = step.lower(_sds(state), _sds(db0), _sds(rng)).compile()
+            fmts = compiled.input_formats[0]
+            state = jax.device_put(state, fmts[0])
+            batch_fmt, rng_fmt = fmts[1], fmts[2]
+            rng = jax.device_put(rng, rng_fmt)
+            _inner = compiled
+
+            def step(s, b, r):  # noqa: F811 — device_put is a no-op once
+                # the operand already carries the compiler-chosen format
+                return _inner(s, jax.device_put(b, batch_fmt),
+                              jax.device_put(r, rng_fmt))
+
     copts = {}
     if args.variant.startswith("vmem"):
         # scoped-VMEM limit via per-compile options (XLA_FLAGS is rejected
@@ -402,7 +443,7 @@ def main():
     for kv in args.copt:
         k, _, v = kv.partition("=")
         copts[k] = v
-    if copts:
+    if copts and args.variant != "autolayout":
         with mesh:
             db0 = trainer._put_batch(batch)
             step = step.lower(state, db0, rng).compile(
