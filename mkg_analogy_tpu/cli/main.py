@@ -82,12 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
     # Model args (models/model.py)
     p.add_argument("--pretrain", type=int, default=0)
     p.add_argument("--pretrain_format", type=str, default="triple",
-                   choices=["triple", "analogy"],
+                   choices=["triple", "analogy", "mixed"],
                    help="pretrain prompt format: 'triple' = the reference's "
                         "link/relation-prediction prompts (processor.py:"
                         "124-149); 'analogy' = MarKG pseudo-analogies in the "
                         "fine-tune layout (TPU-native addition, data/"
-                        "prompt.py:build_pseudo_analogy_features)")
+                        "prompt.py:build_pseudo_analogy_features); 'mixed' = "
+                        "per-epoch interleave of both diets (two compiled "
+                        "steps over one state; eval in the analogy geometry)")
     # diagnostic ablation (models/vilbert.py VilBertConfig.ablate_img_to_txt)
     p.add_argument("--vilbert_ablate_img_to_txt", type=int, default=0)
     # LitModel args (lit_models/base.py + transformer.py)
@@ -239,7 +241,9 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         grad_accum_steps=args.accumulate_grad_batches,
         pretrain=bool(args.pretrain),
-        analogy_pretrain=bool(args.pretrain) and args.pretrain_format == "analogy",
+        analogy_pretrain=bool(args.pretrain)
+        and args.pretrain_format in ("analogy", "mixed"),
+        mixed_pretrain=bool(args.pretrain) and args.pretrain_format == "mixed",
         seed=args.seed,
         track_grad_norm=args.track_grad_norm != -1,
         check_val_every_n_epoch=args.check_val_every_n_epoch,
@@ -348,9 +352,18 @@ def main(argv=None):
         trainer.set_image_table(data.device_table(), kind=kind)
         attach = None
     if args.pretrain:
-        train_feats = data.features("train")
-        dev_feats = train_feats  # reference evaluates pretrain on train triples
-        test_feats = train_feats
+        if args.pretrain_format == "mixed":
+            # two component diets, each cached under its single-format key;
+            # dev/test ranking runs in the analogy geometry (the downstream
+            # task the pretrain is meant to transfer to)
+            analogy_feats = data.features("train", fmt="analogy")
+            train_feats = (data.features("train", fmt="triple"), analogy_feats)
+            dev_feats = analogy_feats
+            test_feats = analogy_feats
+        else:
+            train_feats = data.features("train")
+            dev_feats = train_feats  # reference evaluates pretrain on train triples
+            test_feats = train_feats
     else:
         train_feats = data.features("train")
         dev_feats = data.features("dev")

@@ -41,7 +41,7 @@ class KGCDataModule:
         image_kind: str = "pixels",  # "pixels" | "regions"
         overwrite_cache: bool = False,
         seed: int = 1,
-        pretrain_format: str = "triple",  # "triple" | "analogy"
+        pretrain_format: str = "triple",  # "triple" | "analogy" | "mixed"
     ):
         self.data_dir = data_dir
         self.pretrain = pretrain
@@ -94,27 +94,38 @@ class KGCDataModule:
                     h.update(f"{name}:{st.st_size}:{int(st.st_mtime)}".encode())
         return h.hexdigest()[:10]
 
-    def _cache_path(self, split: str) -> Optional[str]:
+    def _cache_path(self, split: str, fmt: Optional[str] = None) -> Optional[str]:
         if not self.cache_dir:
             return None
+        fmt = fmt or self.pretrain_format
         key = (
             f"{split}_pre{int(self.pretrain)}_L{self.max_seq_length}"
             f"_V{self.vocab.base_size}_C{self._corpus_fingerprint()}"
         )
         if self.pretrain:
             key += f"_S{self.seed}"  # seed drives pretrain modality draws
-            if self.pretrain_format != "triple":
-                key += f"_F{self.pretrain_format}"
+            if fmt != "triple":
+                key += f"_F{fmt}"
         h = hashlib.sha256(key.encode()).hexdigest()[:12]
         return os.path.join(self.cache_dir, f"features_{key}_{h}.npz")
 
-    def features(self, split: str) -> Dict[str, np.ndarray]:
-        path = self._cache_path(split)
+    def features(self, split: str, fmt: Optional[str] = None) -> Dict[str, np.ndarray]:
+        """Stacked features for ``split``. ``fmt`` overrides the module's
+        pretrain format for one call — the "mixed" diet fetches its two
+        components as fmt="triple" and fmt="analogy" (each cached under its
+        own key, shared with the single-format runs)."""
+        fmt = fmt or self.pretrain_format
+        if self.pretrain and fmt == "mixed":
+            raise ValueError(
+                "mixed is a diet, not a feature format: fetch its components"
+                " with fmt='triple' and fmt='analogy'"
+            )
+        path = self._cache_path(split, fmt=fmt)
         if path and os.path.exists(path) and not self.overwrite_cache:
             with np.load(path) as z:
                 return {k: z[k] for k in z.files}
         if self.pretrain:
-            if self.pretrain_format == "analogy":
+            if fmt == "analogy":
                 feats = build_pseudo_analogy_features(
                     self.markg, self.vocab, self.max_seq_length,
                     seed=self.seed,
@@ -168,8 +179,11 @@ class KGCDataModule:
     def iterator(
         self, split: str, batch_size: int, shuffle: bool, pad_tail: bool = False
     ) -> BatchIterator:
+        # the mixed diet evaluates/tests in the analogy geometry
+        fmt = "analogy" if (self.pretrain and self.pretrain_format == "mixed") \
+            else None
         return BatchIterator(
-            self.features(split),
+            self.features(split, fmt=fmt),
             batch_size,
             shuffle=shuffle,
             seed=self.seed,

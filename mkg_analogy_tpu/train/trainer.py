@@ -58,6 +58,12 @@ class TrainConfig:
     # but the masked-entity decoder runs over the FULL MarKG entity range
     # instead of the 2,063 analogy entities.
     analogy_pretrain: bool = False
+    # mixed-diet pretraining (VERDICT r3 item 6): every epoch interleaves
+    # triple-format link-prediction batches with pseudo-analogy batches in
+    # a seeded shuffled order; each format runs its own jitted step (two
+    # compiled programs, one shared donated state). Eval/test stay in the
+    # analogy geometry (the downstream task). Requires analogy_pretrain.
+    mixed_pretrain: bool = False
     seed: int = 7
     patience: int = 5
     check_val_every_n_epoch: int = 1
@@ -198,9 +204,12 @@ class MarTTrainer:
             return pixel_values, vam
         return feats, None
 
-    def _model_inputs(self, batch, train: bool, image_table=None):
+    def _model_inputs(self, batch, train: bool, image_table=None, fmt=None):
         cfg = self.config
-        if cfg.pretrain and not cfg.analogy_pretrain:
+        if fmt is None:
+            fmt = ("triple" if cfg.pretrain and not cfg.analogy_pretrain
+                   else "finetune")
+        if fmt == "triple":
             positions = batch["mask_idx"][:, None]
             boundary = None
         else:
@@ -242,7 +251,8 @@ class MarTTrainer:
 
     def _finetune_loss(self, params, batch, rng, image_table=None):
         cfg = self.config
-        inputs = self._model_inputs(batch, train=True, image_table=image_table)
+        inputs = self._model_inputs(batch, train=True, image_table=image_table,
+                                    fmt="finetune")
         trans = self.model.apply(
             params, **inputs, deterministic=False, rngs={"dropout": rng}
         )
@@ -257,7 +267,8 @@ class MarTTrainer:
     def _pretrain_loss(self, params, batch, rng, image_table=None):
         cfg = self.config
         v = self.vocab
-        inputs = self._model_inputs(batch, train=True, image_table=image_table)
+        inputs = self._model_inputs(batch, train=True, image_table=image_table,
+                                    fmt="triple")
         trans = self.model.apply(
             params, **inputs, deterministic=False, rngs={"dropout": rng}
         )
@@ -286,11 +297,15 @@ class MarTTrainer:
         return loss, {"loss": loss, "ent_loss": ent_loss, "rel_loss": rel_loss}
 
     # ------------------------------------------------------------------ steps
-    def _train_step(self, state: TrainState, batch, rng, image_table=None):
+    def _train_step(self, state: TrainState, batch, rng, image_table=None,
+                    loss_kind=None):
         rng = jax.random.fold_in(rng, state.step)
         cfg = self.config
-        use_triple_pretrain = cfg.pretrain and not cfg.analogy_pretrain
-        loss_fn = self._pretrain_loss if use_triple_pretrain else self._finetune_loss
+        if loss_kind is None:  # config-driven (single-format runs)
+            loss_kind = ("triple" if cfg.pretrain and not cfg.analogy_pretrain
+                         else "finetune")
+        loss_fn = (self._pretrain_loss if loss_kind == "triple"
+                   else self._finetune_loss)
         grads, metrics = jax.grad(
             lambda p: loss_fn(p, batch, rng, image_table), has_aux=True
         )(state.params)
@@ -438,11 +453,42 @@ class MarTTrainer:
         init_params_fn=None,
     ):
         cfg = self.config
-        train_it = BatchIterator(
-            train_features, cfg.batch_size, shuffle=True, seed=cfg.seed,
-            attach=attach,
-        )
-        steps_per_epoch = len(train_it)
+        if cfg.mixed_pretrain:
+            # mixed diet: train_features is (triple_feats, analogy_feats).
+            # Each format keeps its own iterator (different key sets /
+            # geometries -> two compiled programs over one donated state);
+            # the per-epoch order is a seeded proportional shuffle of the
+            # two batch streams.
+            triple_feats, analogy_feats = train_features
+            it_t = BatchIterator(triple_feats, cfg.batch_size, shuffle=True,
+                                 seed=cfg.seed, attach=attach)
+            it_a = BatchIterator(analogy_feats, cfg.batch_size, shuffle=True,
+                                 seed=cfg.seed + 1, attach=attach)
+            sched_rng = np.random.default_rng(cfg.seed)
+            steps_per_epoch = len(it_t) + len(it_a)
+
+            def epoch_batches():
+                tags = np.concatenate([np.zeros(len(it_t), np.int8),
+                                       np.ones(len(it_a), np.int8)])
+                sched_rng.shuffle(tags)
+                gen_t, gen_a = iter(it_t), iter(it_a)
+                for tag in tags:
+                    yield ("finetune" if tag else "triple",
+                           next(gen_a if tag else gen_t))
+
+            sample_it = it_a  # analogy batches carry the full key set
+        else:
+            train_it = BatchIterator(
+                train_features, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                attach=attach,
+            )
+            steps_per_epoch = len(train_it)
+
+            def epoch_batches():
+                for b in train_it:
+                    yield None, b
+
+            sample_it = train_it
         limit_batches = cfg.limit_train_batches
         if limit_batches and isinstance(limit_batches, float) and limit_batches <= 1.0:
             # fractional limit — only FLOATS in (0, 1] are fractions; an int 1
@@ -454,13 +500,22 @@ class MarTTrainer:
         total_steps = steps_per_epoch * cfg.max_epochs
         rng = jax.random.PRNGKey(cfg.seed)
         init_rng, step_rng = jax.random.split(rng)
-        sample = next(iter(train_it))
+        sample = next(iter(sample_it))
         state = self.init_state(init_rng, sample, total_steps)
         if init_params_fn is not None:
             # pretrain->finetune transfer (main.py:133-134 strict=False parity)
             state = state.replace(params=init_params_fn(state.params))
 
         train_step = self._get_jitted("train", self._train_step, donate=(0,))
+        step_fns = {None: train_step, "finetune": train_step}
+        if cfg.mixed_pretrain:
+            import functools
+
+            step_fns["triple"] = self._get_jitted(
+                "train_triple",
+                functools.partial(self._train_step, loss_kind="triple"),
+                donate=(0,),
+            )
         best_mrr, best_hits10, since_best = -1.0, -1.0, 0
         best_metrics: Dict[str, float] = {}
         global_step = 0
@@ -468,20 +523,22 @@ class MarTTrainer:
 
         timer = StepTimer()
 
-        def stage(batch):
+        def stage(tagged):
             # host-side assembly + async H2D shipping, run one step ahead
             # on the prefetch worker (keeps the tunnel transfer off the
             # critical path)
+            tag, batch = tagged
             ids_preview = batch["input_ids"][:2]
             batch = {k: v for k, v in batch.items() if k != "valid"}
-            return ids_preview, self._put_batch(batch)
+            return tag, ids_preview, self._put_batch(batch)
 
         with self.mesh:
             for epoch in range(cfg.max_epochs):
                 t_epoch = time.time()
                 n_examples = 0
                 epoch_steps = 0
-                for ids_preview, dbatch in self._prefetch(train_it, stage):
+                for tag, ids_preview, dbatch in self._prefetch(
+                        epoch_batches(), stage):
                     if limit_batches and epoch_steps >= limit_batches:
                         break
                     epoch_steps += 1
@@ -491,12 +548,13 @@ class MarTTrainer:
                             print(self.vocab.decode(row[row != 0][:48]))
                     if cfg.profile_dir and global_step == 5:
                         jax.profiler.start_trace(cfg.profile_dir)
+                    step_fn = step_fns[tag]
                     timer.start()
                     if self.image_table is not None:
-                        state, metrics = train_step(state, dbatch, step_rng,
-                                                    self.image_table)
+                        state, metrics = step_fn(state, dbatch, step_rng,
+                                                 self.image_table)
                     else:
-                        state, metrics = train_step(state, dbatch, step_rng)
+                        state, metrics = step_fn(state, dbatch, step_rng)
                     timer.stop()
                     global_step += 1
                     n_examples += cfg.batch_size

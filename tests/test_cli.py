@@ -210,6 +210,47 @@ def test_main_cli_curriculum_chain(dataset, tmp_path):
     assert 0 < ft["Eval_entity/mrr"] <= 1
 
 
+def test_main_cli_mixed_pretrain_then_finetune(dataset, tmp_path):
+    """--pretrain_format mixed (VERDICT r3 item 6's batch diet): every
+    epoch interleaves triple-format link-prediction batches with
+    pseudo-analogy batches — two compiled train steps over one donated
+    state (train/trainer.py fit, cfg.mixed_pretrain) — and evaluates in
+    the analogy geometry; then a finetune restores its checkpoint."""
+    from mkg_analogy_tpu.cli.main import main
+
+    root, markg_dir, mars_dir = dataset
+    base = [
+        "--data_dir", mars_dir,
+        "--pretrain_path", markg_dir,
+        "--model_class", "MKGformerKGC",
+        "--max_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--max_seq_length", "48",
+        "--text_vocab_size", "256",
+        "--hidden_size", "32",
+        "--num_layers", "2",
+        "--num_heads", "2",
+        "--intermediate_size", "64",
+        "--dtype", "float32",
+        "--dp", "8",
+        "--log_dir", str(tmp_path / "logs"),
+        "--cache_dir", str(tmp_path / "cache"),
+    ]
+    pt = main(base + [
+        "--pretrain", "1", "--pretrain_format", "mixed",
+        "--output_dir", str(tmp_path / "pt"),
+    ])
+    # eval runs in the analogy geometry: entity ranks only
+    assert "Eval_entity/mrr" in pt
+    assert "Eval_relation/mrr" not in pt
+    ft = main(base + [
+        "--checkpoint", str(tmp_path / "pt" / "ckpt"),
+        "--output_dir", str(tmp_path / "ft"),
+    ])
+    assert 0 < ft["Eval_entity/mrr"] <= 1
+
+
 @pytest.mark.parametrize("mode", ["synthetic", "synthetic_noise"])
 def test_main_cli_synthetic_images(dataset, tmp_path, mode):
     """--image_features synthetic|synthetic_noise builds the identity/noise
