@@ -43,10 +43,22 @@ done
 
 past_deadline () { [ "$(date -u +%H:%M)" \> "$DEADLINE_UTC" ]; }
 
+secs_to_deadline () {
+  # seconds from now to DEADLINE_UTC today (0 if already past)
+  local now dl
+  now=$(date -u +%s)
+  dl=$(date -u -d "today $DEADLINE_UTC" +%s)
+  echo $(( dl > now ? dl - now : 0 ))
+}
+
 run_stage () {  # usage: run_stage NAME TIMEOUT_S cli-args...
   local name=$1 tmo=$2; shift 2
   if past_deadline; then echo "=== [$name] SKIPPED (past $DEADLINE_UTC UTC) ==="; return 9; fi
-  echo "=== [$name] start $(date -u '+%F %T') ==="
+  # a stage may not overrun the deadline either: cap its timeout to the
+  # remaining window (+10 min grace for the final eval/test fetch)
+  local cap=$(( $(secs_to_deadline) + 600 ))
+  [ "$tmo" -gt "$cap" ] && tmo=$cap
+  echo "=== [$name] start $(date -u '+%F %T') timeout=${tmo}s ==="
   timeout "$tmo" python -m mkg_analogy_tpu.cli.main "$@" \
     > "$OUT/logs/$name.log" 2>&1
   local rc=$?
