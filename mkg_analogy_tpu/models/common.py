@@ -15,19 +15,19 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # The reference's "gelu" is torch.nn.functional.gelu = exact erf
-# (modeling_unimo.py ACT2FN via HF transformers). DELIBERATE DEVIATION on
-# the bf16 compute path: the tanh approximation. Measured on v5e at the
-# recipe point (B=32, full train step) the erf polynomial costs ~4.4 ms of
-# VPU time inside the fc1 fusions — tanh-gelu is +12% throughput
-# (tools/bench_opts.py gelutanh, RESULTS.md round-3 ledger). Numerically
-# the deviation is below the activation precision it feeds: max absolute
-# difference 4.8e-4 over all x (at x≈2.7), under one bf16 ULP for any
-# output of meaningful magnitude; on N(0,1.5) activations 85% of bf16
-# outputs are bit-identical and the rest differ in the final bit, almost
-# all in the near-zero negative tail. fp32 models (torch activation-parity
-# tests, --dtype float32 runs) keep exact erf automatically, and
-# --exact_gelu / set_gelu_exact(True) forces erf under bf16 too.
-GELU_EXACT = False
+# (modeling_unimo.py ACT2FN via HF transformers). The default is exact erf
+# in EVERY dtype. Round 3 shipped the tanh approximation as the bf16
+# default (+12% step throughput; max deviation 4.8e-4, sub-bf16-ULP) on a
+# metric-neutrality claim whose validation arm never ran — round 4 ran it:
+# same-seed scratch-15 on MARS lands at test Hits@1 0.2203 (tanh) vs
+# 0.2849 (erf, exactly reproducing the round-3 erf control), a 6-point
+# regression far outside seed noise (RESULTS.md round-4 "tanh-GELU
+# retraction"). Sub-ULP forward deviation is NOT sufficient for metric
+# neutrality: the gradient deviates up to 8.7e-4 and the training
+# trajectory diverges chaotically. tanh remains opt-in for throughput
+# experiments via set_gelu_exact(False) / --approx_gelu, quality caveat
+# documented at the flag.
+GELU_EXACT = True
 
 
 def set_gelu_exact(exact: bool) -> None:

@@ -156,12 +156,13 @@ def test_ikrl_softplus_sign_quirk():
           f"reference={gaps[True]:+.3f}")
 
 
-def test_gelu_dispatch_bf16_tanh_fp32_erf():
-    """Round-3 deliberate deviation (README "Reference quirks"): under bf16
-    the "gelu" activation is the tanh approximation (+12% step throughput,
-    sub-ULP deviation); fp32 — the dtype of every torch-parity test — keeps
-    the reference's exact erf, and set_gelu_exact(True)/--exact_gelu forces
-    erf under bf16 too."""
+def test_gelu_dispatch_default_erf_tanh_opt_in():
+    """Round-4 retraction of the round-3 tanh default: "gelu" is the
+    reference's exact erf in EVERY dtype by default — the round-3
+    metric-neutrality claim failed its validation arm (same-seed MARS
+    scratch-15: tanh test Hits@1 0.2203 vs erf 0.2849; models/common.py).
+    The tanh approximation stays available for throughput experiments via
+    set_gelu_exact(False) / --exact_gelu 0, bf16 only."""
     from flax import linen as nn
 
     from mkg_analogy_tpu.models import common
@@ -169,19 +170,24 @@ def test_gelu_dispatch_bf16_tanh_fp32_erf():
     # include deep-tail points where the two variants differ even at bf16
     x = jnp.asarray([0.5, -1.5, 2.69, -5.0, -6.5], jnp.float32)
     g = common.get_activation("gelu")
+    assert common.GELU_EXACT, "exact erf must be the default"
     np.testing.assert_array_equal(
         np.asarray(g(x)), np.asarray(nn.gelu(x, approximate=False)))
     xb = x.astype(jnp.bfloat16)
     np.testing.assert_array_equal(
         np.asarray(g(xb), np.float32),
-        np.asarray(nn.gelu(xb, approximate=True), np.float32))
+        np.asarray(nn.gelu(xb, approximate=False), np.float32))
     # sanity: the two variants ARE distinguishable on these inputs
     assert np.any(np.asarray(nn.gelu(xb, approximate=True), np.float32)
                   != np.asarray(nn.gelu(xb, approximate=False), np.float32))
     try:
-        common.set_gelu_exact(True)
+        common.set_gelu_exact(False)
+        # opt-in tanh applies to bf16 ...
         np.testing.assert_array_equal(
             np.asarray(g(xb), np.float32),
-            np.asarray(nn.gelu(xb, approximate=False), np.float32))
+            np.asarray(nn.gelu(xb, approximate=True), np.float32))
+        # ... but never to fp32 (torch-parity dtype)
+        np.testing.assert_array_equal(
+            np.asarray(g(x)), np.asarray(nn.gelu(x, approximate=False)))
     finally:
-        common.set_gelu_exact(False)
+        common.set_gelu_exact(True)

@@ -113,17 +113,17 @@ def patch_tdense():
 
 
 def patch_gelutanh():
-    """Force the tanh gelu approximation regardless of dtype/flag. Since
-    round 3 this IS the bf16 production default (models/common.py _gelu,
-    measured +12%); the variant remains to price erf in fp32 runs and to
-    A/B against --exact_gelu."""
+    """Force the tanh gelu approximation regardless of dtype/flag: +12%
+    step throughput on v5e, but RETRACTED as the production default in
+    round 4 (same-seed MARS scratch-15: test Hits@1 0.2203 vs erf 0.2849;
+    models/common.py). Throughput pricing only."""
     from mkg_analogy_tpu.models import common
 
     common.ACT2FN["gelu"] = lambda x: nn.gelu(x, approximate=True)
 
 
 def patch_geluexact():
-    """Force exact erf gelu under bf16 (the pre-round-3 default)."""
+    """Force exact erf gelu (the production default again since round 4)."""
     from mkg_analogy_tpu.models import common
 
     common.set_gelu_exact(True)
