@@ -130,6 +130,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured -6 points test Hits@1 on the MARS recipe "
                         "(round-4 same-seed A/B; models/common.py) — "
                         "throughput experiments only.")
+    p.add_argument("--gelu_impl", type=str, default=None,
+                   choices=["erf", "tanh", "poly"],
+                   help="gelu lowering for bf16 compute (fp32 always uses "
+                        "exact erf): erf (default, reference semantics), "
+                        "tanh (retracted; quality caveat at --exact_gelu), "
+                        "poly (degree-14 Chebyshev minimax fit of erf-gelu, "
+                        ">99% bf16-bit-identical, grad deviation <=1.2e-4 "
+                        "vs tanh's 8.7e-4 — models/common.py gelu_poly). "
+                        "Overrides --exact_gelu when given.")
     p.add_argument("--fused_adamw", action="store_true", default=False,
                    help="vector-fused small-leaf AdamW (train/optim.fused_adamw):"
                         " numerically optax.adamw; measured throughput-neutral"
@@ -186,7 +195,11 @@ def main(argv=None):
             _common.set_fused_attention(True, backend="flash")
         else:
             _common.set_fused_attention(args.fused_attention == "1")
-    if not args.exact_gelu:
+    if args.gelu_impl is not None:
+        from ..models import common as _common
+
+        _common.set_gelu_impl(args.gelu_impl)
+    elif not args.exact_gelu:
         from ..models import common as _common
 
         _common.set_gelu_exact(False)

@@ -25,19 +25,84 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 # retraction"). Sub-ULP forward deviation is NOT sufficient for metric
 # neutrality: the gradient deviates up to 8.7e-4 and the training
 # trajectory diverges chaotically. tanh remains opt-in for throughput
-# experiments via set_gelu_exact(False) / --approx_gelu, quality caveat
+# experiments via set_gelu_impl("tanh") / --gelu_impl tanh, quality caveat
 # documented at the flag.
-GELU_EXACT = True
+#
+# "poly" is a 300x-tighter replacement candidate: a degree-14 Chebyshev
+# minimax fit evaluated by Clenshaw in fp32 (gelu_poly below). Its bf16
+# outputs are >99% bit-identical to erf-gelu and its GRADIENT deviates by
+# at most ~1.2e-4 in a negligible-measure band near |x|=6 (~3e-5 on
+# |x|<5, vs tanh's 8.7e-4 everywhere) — but per the retraction lesson,
+# only the end-to-end quality A/B in RESULTS.md can license it as a
+# default. Provenance + validation: tools/fit_gelu_poly.py.
+GELU_IMPL = "erf"  # "erf" | "tanh" | "poly" (non-fp32 inputs only)
 
 
 def set_gelu_exact(exact: bool) -> None:
-    global GELU_EXACT
-    GELU_EXACT = bool(exact)
+    """Back-compat shim: exact=True -> erf, False -> tanh."""
+    set_gelu_impl("erf" if exact else "tanh")
+
+
+def set_gelu_impl(impl: str) -> None:
+    global GELU_IMPL
+    if impl not in ("erf", "tanh", "poly"):
+        raise ValueError(f"unknown gelu impl {impl!r}")
+    GELU_IMPL = impl
+
+
+# Chebyshev coefficients of q in s = clip(x^2/18 - 1, -1, 1), fitted so
+# that clip(x*q(s), -1, 1) is a minimax approximation of erf(x/sqrt(2))
+# (max product error 4.2e-7 in fp64, 2.2e-6 evaluated in fp32). Fit,
+# rationale, and the PASS/FAIL validation gates: tools/fit_gelu_poly.py.
+_GELU_POLY_CHEB = (
+    0.33028964434727737,
+    -0.24219334583714663,
+    0.11777000939518502,
+    -0.0582491905022037,
+    0.027863442342632622,
+    -0.012659164253535369,
+    0.00542071972438396,
+    -0.002180891087797214,
+    0.0008237438783073934,
+    -0.00029222435125419576,
+    9.74498053259353e-05,
+    -3.0554179772880074e-05,
+    8.974542569486454e-06,
+    -2.4208471486769374e-06,
+    5.430217595261719e-07,
+)
+
+
+def gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-gelu via structural polynomial: x/2*(1+clip(x*q(x^2), -1, 1)).
+
+    q is a degree-14 Chebyshev series in s = x^2/18 - 1 evaluated by
+    Clenshaw in fp32 (all intermediates O(1), so fp32 round-off stays
+    ~1e-7 — the monomial/Horner form needs +-5000-scale coefficients and
+    loses 6e-4). The s-clamp freezes q outside |x|=6 where the t-clip
+    already saturates t to sign(x); erf(6/sqrt2) differs from 1 by 2e-9,
+    below fp32 eps, so the saturated tails match the fp32 erf path
+    bit-exactly. ~16 VPU FMAs vs XLA's erf expansion (~4.4 ms/step at the
+    recipe point, RESULTS.md MFU ledger).
+    """
+    xf = x.astype(jnp.float32)
+    one = jnp.float32(1.0)
+    s = jnp.clip(xf * xf * jnp.float32(1.0 / 18.0) - one, -one, one)
+    two_s = s + s
+    b1 = jnp.zeros_like(xf)
+    b2 = jnp.zeros_like(xf)
+    for ci in _GELU_POLY_CHEB[:0:-1]:
+        b1, b2 = two_s * b1 - b2 + jnp.float32(ci), b1
+    q = s * b1 - b2 + jnp.float32(_GELU_POLY_CHEB[0])
+    t = jnp.clip(xf * q, -one, one)
+    return (jnp.float32(0.5) * xf * (one + t)).astype(x.dtype)
 
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:
-    if GELU_EXACT or x.dtype == jnp.float32:
+    if GELU_IMPL == "erf" or x.dtype == jnp.float32:
         return nn.gelu(x, approximate=False)
+    if GELU_IMPL == "poly":
+        return gelu_poly(x)
     return nn.gelu(x, approximate=True)
 
 

@@ -170,7 +170,7 @@ def test_gelu_dispatch_default_erf_tanh_opt_in():
     # include deep-tail points where the two variants differ even at bf16
     x = jnp.asarray([0.5, -1.5, 2.69, -5.0, -6.5], jnp.float32)
     g = common.get_activation("gelu")
-    assert common.GELU_EXACT, "exact erf must be the default"
+    assert common.GELU_IMPL == "erf", "exact erf must be the default"
     np.testing.assert_array_equal(
         np.asarray(g(x)), np.asarray(nn.gelu(x, approximate=False)))
     xb = x.astype(jnp.bfloat16)
@@ -191,3 +191,59 @@ def test_gelu_dispatch_default_erf_tanh_opt_in():
             np.asarray(g(x)), np.asarray(nn.gelu(x, approximate=False)))
     finally:
         common.set_gelu_exact(True)
+
+
+def test_gelu_poly_matches_erf():
+    """gelu_poly (models/common.py) is the candidate replacement for the
+    erf expansion in bf16 compute: validated here against the fp64 ground
+    truth and the production fp32 erf path (full gates in
+    tools/fit_gelu_poly.py). Unlike the retracted tanh approximation, its
+    GRADIENT agrees with erf-gelu's to ~1e-4 worst-case (tanh: 8.7e-4)."""
+    from flax import linen as nn
+
+    from mkg_analogy_tpu.models import common
+
+    x64 = np.linspace(-10, 10, 200_001)
+    ref64 = 0.5 * x64 * (1.0 + _erf64(x64 / np.sqrt(2.0)))
+    got = np.asarray(common.gelu_poly(jnp.asarray(x64, jnp.float32)),
+                     np.float64)
+    assert np.abs(got - ref64).max() < 3e-6
+
+    # gradient agreement (jax autodiff of both implementations, fp32)
+    xs = jnp.asarray(np.linspace(-5, 5, 20_001), jnp.float32)
+    dref = jax.vmap(jax.grad(lambda v: nn.gelu(v, approximate=False)))(xs)
+    dgot = jax.vmap(jax.grad(common.gelu_poly))(xs)
+    assert np.abs(np.asarray(dref) - np.asarray(dgot)).max() < 2e-4
+
+    # bf16 bit-identity vs the production fp32-erf path on activations
+    acts = np.random.default_rng(0).normal(0, 1.5, 500_000)
+    ab = jnp.asarray(acts, jnp.bfloat16)
+    ref_b = np.asarray(
+        nn.gelu(ab.astype(jnp.float32), approximate=False)
+    ).astype(jnp.bfloat16)
+    got_b = np.asarray(common.gelu_poly(ab))
+    ident = (ref_b.view(np.uint16) == got_b.view(np.uint16)).mean()
+    assert ident > 0.99, f"bf16 bit-identity {ident:.4f}"
+
+    # dispatch: poly applies to bf16 only; fp32 keeps exact erf
+    g = common.get_activation("gelu")
+    try:
+        common.set_gelu_impl("poly")
+        xb = jnp.asarray([0.5, -1.5, 2.69], jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(g(xb), np.float32),
+            np.asarray(common.gelu_poly(xb), np.float32))
+        xf = xb.astype(jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(g(xf)), np.asarray(nn.gelu(xf, approximate=False)))
+    finally:
+        common.set_gelu_impl("erf")
+
+
+def _erf64(x):
+    try:
+        from scipy.special import erf
+        return erf(x)
+    except Exception:  # pragma: no cover
+        import math
+        return np.vectorize(math.erf)(x)

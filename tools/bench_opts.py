@@ -12,8 +12,9 @@ Variants:
   bf16mu/bf16mom — AdamW first / both moment(s) stored in bf16
   bf16stage   — params cast to bf16 once per step outside jax.grad
   tdense      — pre-transposed Dense kernels (wgrad layout experiment)
-  gelutanh/geluexact — force tanh / exact-erf gelu (tanh is the bf16
-                default since round 3; geluexact prices the erf tail)
+  gelutanh/geluexact/gelupoly — force tanh / exact-erf / Chebyshev-poly
+                gelu (erf is the default; tanh retracted round 4;
+                gelupoly is the round-4 candidate, quality-A/B gated)
   remat_probs — save post-dropout attention probs instead of recomputing
   autolayout  — XLA AUTO in/out layouts on the donated train state
                 (compiler-chosen weight/moment layouts; targets the
@@ -127,6 +128,16 @@ def patch_geluexact():
     from mkg_analogy_tpu.models import common
 
     common.set_gelu_exact(True)
+
+
+def patch_gelupoly():
+    """Degree-14 Chebyshev minimax gelu (models/common.py gelu_poly):
+    targets the ~4.4 ms/step erf VPU tail with >99% bf16 bit-identity and
+    <=1.2e-4 gradient deviation (tanh's was 8.7e-4). Default-change gated
+    on the end-to-end quality A/B per the round-4 tanh retraction."""
+    from mkg_analogy_tpu.models import common
+
+    common.set_gelu_impl("poly")
 
 
 def patch_bf16mu(nu_too=False):
@@ -360,6 +371,8 @@ def main():
         patch_gelutanh()
     if args.variant == "geluexact":
         patch_geluexact()
+    if args.variant == "gelupoly":
+        patch_gelupoly()
     if args.variant == "tdense+gelutanh":
         patch_tdense()
         patch_gelutanh()

@@ -1,0 +1,154 @@
+"""Fit + validate the polynomial exact-gelu replacement (gelu_poly).
+
+The reference's gelu is torch.nn.functional.gelu = x/2*(1+erf(x/sqrt(2)))
+(HF ACT2FN "gelu", modeling_unimo.py). XLA's erf expansion costs ~4.4 ms
+of VPU time per train step at the recipe point (RESULTS.md MFU ledger:
+erf 776 ex/s vs tanh-approx 865). The tanh approximation was retracted for
+quality (gradient deviates up to 8.7e-4 from erf-gelu; -6 points Hits@1).
+
+This script fits a STRUCTURAL approximation to the exact function:
+
+    gelu(x) = x/2 * (1 + t(x)),
+    t(x)    = clip(x * q(s), -1, 1),   s = clip(x^2/18 - 1, -1, 1)
+
+with q a degree-13 Chebyshev series in s (x-degree 27 overall) fitted to
+erf(x/sqrt(2))/x on |x| <= 6. g(u) = erf(sqrt(u/2))/sqrt(u) is ENTIRE in
+u = x^2 (the erf(w)/w Taylor series is even in w), so the Chebyshev
+coefficients decay super-geometrically and the basis keeps every
+intermediate O(1) — fp32 Clenshaw evaluation stays within ~1e-7 round-off,
+unlike the monomial Horner form whose +-5000-scale coefficients cost 6e-4.
+Outside |x|=6 the s-clamp freezes q at its boundary value and the t-clip
+saturates t to sign(x): |erf(6/sqrt2) - 1| ~ 2e-9, so the saturation error
+is ~6e-9 — below fp32 eps. Oddness is structural (x * even(x^2)), so t and
+d/dx t are exactly odd/even.
+
+Validation criteria (all must PASS before the kernel ships even as an
+opt-in; the end-to-end quality A/B in RESULTS.md is the only thing that
+licenses a DEFAULT change — see the tanh retraction):
+  * fp32 max |gelu_poly - gelu_erf| over a dense grid  (target < 2e-6)
+  * fp64 max |d/dx gelu_poly - d/dx gelu_erf|          (target < 5e-5;
+    tanh's is 8.7e-4 — the retracted regime)
+  * bf16 bit-identity fraction vs erf-gelu on N(0,1.5) activations and
+    on the dense grid (target > 99%)
+
+Prints the Chebyshev coefficient tuple to paste into models/common.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+R = 6.0          # fit radius; |erf(R/sqrt2) - 1| ~ 2e-9
+DEG = 14         # Chebyshev degree in s (x-degree 29)
+
+try:
+    from scipy.special import erf as _erf
+except Exception:  # pragma: no cover - scipy is baked in, but be safe
+    import math
+
+    _erf = np.vectorize(math.erf)
+
+
+def erf_gelu(x):
+    return 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)))
+
+
+def _cheb_cols(s, deg):
+    """T_0..T_deg evaluated at s, as columns."""
+    cols = [np.ones_like(s), s]
+    for _ in range(2, deg + 1):
+        cols.append(2 * s * cols[-1] - cols[-2])
+    return np.stack(cols[: deg + 1], axis=1)
+
+
+def fit_coeffs(iters=40):
+    # Dense samples on (0, R], extra density near both ends of the s-range.
+    x = np.concatenate([
+        np.linspace(1e-4, R, 30_000),
+        R * np.sqrt((1 - np.cos(np.linspace(0, np.pi, 8_000))) / 2),
+    ])
+    s = (x * x) / (R * R / 2) - 1.0
+    target = _erf(x / np.sqrt(2.0))
+    # Minimize the PRODUCT error x*q(s) - erf(x/sqrt2) directly, driven
+    # toward the minimax (equioscillating) solution by IRLS: upweight the
+    # current error peaks each iteration. Plain LSQ stops at 7.9e-6 max;
+    # IRLS reaches 4.2e-7 at DEG=14 (the fp32 evaluation round-off floor
+    # is ~1e-7, so higher degrees buy nothing in fp32).
+    A = x[:, None] * _cheb_cols(s, DEG)
+    w = np.ones_like(x)
+    best = None
+    for _ in range(iters):
+        c, *_ = np.linalg.lstsq(A * w[:, None], target * w, rcond=None)
+        e = np.abs(A @ c - target)
+        mx = e.max()
+        if best is None or mx < best[0]:
+            best = (mx, c.copy())
+        w *= (e / mx + 1e-3) ** 0.3
+        w /= w.mean()
+    return best[1]
+
+
+def gelu_poly_np(x, c, dtype=np.float32):
+    """Mirror of the models/common.py implementation, in numpy."""
+    one = dtype(1.0)
+    xf = x.astype(dtype)
+    s = np.clip(xf * xf * dtype(1.0 / (R * R / 2)) - one, -one, one)
+    # Clenshaw in dtype.
+    b1 = np.zeros_like(xf)
+    b2 = np.zeros_like(xf)
+    two_s = dtype(2.0) * s
+    for ci in c[:0:-1]:
+        b1, b2 = two_s * b1 - b2 + dtype(ci), b1
+    q = s * b1 - b2 + dtype(c[0])
+    t = np.clip(xf * q, -one, one)
+    return (dtype(0.5) * xf * (one + t)).astype(dtype)
+
+
+def main():
+    c = fit_coeffs()
+    grid = np.linspace(-10, 10, 2_000_001)
+
+    ref64 = erf_gelu(grid)
+    got32 = gelu_poly_np(grid, c, np.float32).astype(np.float64)
+    err = np.abs(got32 - ref64)
+    max_err = err.max()
+    print(f"fp32 max |gelu_poly - gelu_erf| = {max_err:.3e} "
+          f"at x={grid[err.argmax()]:+.4f}  "
+          f"[{'PASS' if max_err < 2e-6 else 'FAIL'} < 2e-6]")
+
+    h = 1e-4
+    dref = (erf_gelu(grid + h) - erf_gelu(grid - h)) / (2 * h)
+    dgot = (gelu_poly_np(grid + h, c, np.float64)
+            - gelu_poly_np(grid - h, c, np.float64)) / (2 * h)
+    derr = np.abs(dgot - dref).max()
+    print(f"fp64 max |gelu_poly' - gelu_erf'|  = {derr:.3e}  "
+          f"[{'PASS' if derr < 5e-5 else 'FAIL'} < 5e-5]  "
+          f"(tanh approx: 8.7e-4)")
+
+    def to_bf16_bits(a32):
+        # round-to-nearest-even fp32 -> bf16, as XLA does on output cast
+        u = a32.astype(np.float32).view(np.uint32)
+        rounded = (u + 0x7FFF + ((u >> 16) & 1)) >> 16
+        return rounded.astype(np.uint16)
+
+    for name, xs in [
+        ("N(0,1.5) activations", np.random.default_rng(0)
+         .normal(0, 1.5, 2_000_000).astype(np.float32)),
+        ("dense grid [-10,10]", grid.astype(np.float32)),
+    ]:
+        ref32 = erf_gelu(xs.astype(np.float64)).astype(np.float32)
+        got = gelu_poly_np(xs, c, np.float32)
+        ident = (to_bf16_bits(ref32) == to_bf16_bits(got)).mean()
+        print(f"bf16 bit-identity vs erf ({name}): {ident*100:.2f}%  "
+              f"[{'PASS' if ident > 0.99 else 'FAIL'} > 99%]")
+
+    print("\n# paste into models/common.py (Chebyshev/Clenshaw, "
+          "s = clip(x^2/18 - 1, -1, 1)):")
+    print("_GELU_POLY_CHEB = (")
+    for ci in c:
+        print(f"    {float(ci)!r},")
+    print(")")
+
+
+if __name__ == "__main__":
+    main()
