@@ -73,6 +73,45 @@ _GELU_POLY_CHEB = (
 )
 
 
+# Chebyshev coefficients of r in the same s, fitted so that
+# 0.5 + clip(x, -6, 6) * r(s) is a minimax approximation of gelu'(x) =
+# 0.5*(1+erf(x/sqrt2)) + x*phi(x): max deviation 4.3e-6 over the WHOLE
+# real line (fp32 eval) — the custom-JVP below uses it instead of
+# autodiff through the Clenshaw chain, which (a) tripled the backward's
+# elementwise cost (measured: 720.7 vs 768-775 ex/s base) and (b) had a
+# 1.2e-4 subgradient blip at the |x|=6 clamp corner. Same fit machinery:
+# tools/fit_gelu_poly.py. (gelu' - 0.5 is odd and entire in x^2, so the
+# structural x*r(x^2) trick applies; the x-clamp freezes the saturated
+# tails at d(+-6), within 4e-8 of the true 1/0.)
+_GELU_POLY_DERIV_CHEB = (
+    0.21898524531263905,
+    -0.22260624861509148,
+    0.14400788421381755,
+    -0.0928012135086846,
+    0.056602672027503374,
+    -0.03207533320570575,
+    0.016773504258689072,
+    -0.008083637805368912,
+    0.0035947343345571346,
+    -0.0014786162490729624,
+    0.0005640296608659698,
+    -0.00019982686276727213,
+    6.555459678467149e-05,
+    -1.9516758768489917e-05,
+    4.780831823745028e-06,
+)
+
+
+def _clenshaw_f32(s: jnp.ndarray, coeffs) -> jnp.ndarray:
+    two_s = s + s
+    b1 = jnp.zeros_like(s)
+    b2 = jnp.zeros_like(s)
+    for ci in coeffs[:0:-1]:
+        b1, b2 = two_s * b1 - b2 + jnp.float32(ci), b1
+    return s * b1 - b2 + jnp.float32(coeffs[0])
+
+
+@jax.custom_jvp
 def gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
     """Exact-gelu via structural polynomial: x/2*(1+clip(x*q(x^2), -1, 1)).
 
@@ -83,19 +122,26 @@ def gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
     already saturates t to sign(x); erf(6/sqrt2) differs from 1 by 2e-9,
     below fp32 eps, so the saturated tails match the fp32 erf path
     bit-exactly. ~16 VPU FMAs vs XLA's erf expansion (~4.4 ms/step at the
-    recipe point, RESULTS.md MFU ledger).
+    recipe point, RESULTS.md MFU ledger). The gradient is its own fitted
+    series (custom JVP below), exact to 4.3e-6 everywhere.
     """
     xf = x.astype(jnp.float32)
     one = jnp.float32(1.0)
     s = jnp.clip(xf * xf * jnp.float32(1.0 / 18.0) - one, -one, one)
-    two_s = s + s
-    b1 = jnp.zeros_like(xf)
-    b2 = jnp.zeros_like(xf)
-    for ci in _GELU_POLY_CHEB[:0:-1]:
-        b1, b2 = two_s * b1 - b2 + jnp.float32(ci), b1
-    q = s * b1 - b2 + jnp.float32(_GELU_POLY_CHEB[0])
+    q = _clenshaw_f32(s, _GELU_POLY_CHEB)
     t = jnp.clip(xf * q, -one, one)
     return (jnp.float32(0.5) * xf * (one + t)).astype(x.dtype)
+
+
+@gelu_poly.defjvp
+def _gelu_poly_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    xf = x.astype(jnp.float32)
+    one = jnp.float32(1.0)
+    s = jnp.clip(xf * xf * jnp.float32(1.0 / 18.0) - one, -one, one)
+    xc = jnp.clip(xf, jnp.float32(-6.0), jnp.float32(6.0))
+    d = jnp.float32(0.5) + xc * _clenshaw_f32(s, _GELU_POLY_DERIV_CHEB)
+    return gelu_poly(x), (d * dx.astype(jnp.float32)).astype(x.dtype)
 
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:

@@ -38,20 +38,37 @@ for i in $(seq 1 20); do
 done
 if [ "$TUNNEL_OK" != 1 ]; then echo "TUNNEL_DEAD"; exit 3; fi
 
-# Perf gate for the poly quality arms: >=2% over the erf base median.
+# The perf queue's gelupoly rows measured the v1 (plain-autodiff) kernel
+# (720.7 ex/s — the backward tripled the elementwise cost). Re-measure the
+# v2 custom-JVP kernel fresh here, then gate the poly quality arms on it:
+# >=2% over the erf base median.
+echo "=== [G0] gelupoly v2 (custom-JVP) re-measure ==="
+for i in 1 2; do
+  timeout 900 python tools/bench_opts.py --variant gelupoly --batch 32 \
+    2>&1 | tail -1 | tee -a "$OUT/gelupoly_v2.jsonl"
+done
+timeout 900 python tools/bench_opts.py --variant gelupoly --batch 64 \
+  2>&1 | tail -1 | tee -a "$OUT/gelupoly_v2.jsonl"
+
 POLY_GO=$(python - <<'EOF'
-import json, re
+import json
 base, poly = [], []
 for line in open("/tmp/r4b_perf_driver.log", errors="replace"):
-    if not line.startswith("{"):
-        continue
-    try:
-        d = json.loads(line)
-    except Exception:
-        continue
-    if d.get("batch") == 32:
-        (base if d.get("variant") == "base" else
-         poly if d.get("variant") == "gelupoly" else []).append(d["ex_per_sec"])
+    if line.startswith("{"):
+        try:
+            d = json.loads(line)
+        except Exception:
+            continue
+        if d.get("batch") == 32 and d.get("variant") == "base":
+            base.append(d["ex_per_sec"])
+try:
+    for line in open("/tmp/r4b/gelupoly_v2.jsonl", errors="replace"):
+        if line.startswith("{"):
+            d = json.loads(line)
+            if d.get("batch") == 32:
+                poly.append(d["ex_per_sec"])
+except FileNotFoundError:
+    pass
 med = lambda v: sorted(v)[len(v) // 2] if v else 0.0
 b, p = med(base), med(poly)
 print("yes" if b and p >= 1.02 * b else "no", b, p)

@@ -198,7 +198,8 @@ def test_gelu_poly_matches_erf():
     erf expansion in bf16 compute: validated here against the fp64 ground
     truth and the production fp32 erf path (full gates in
     tools/fit_gelu_poly.py). Unlike the retracted tanh approximation, its
-    GRADIENT agrees with erf-gelu's to ~1e-4 worst-case (tanh: 8.7e-4)."""
+    GRADIENT is a custom-JVP fitted series agreeing with erf-gelu's to
+    4.3e-6 over the whole real line (tanh: 8.7e-4)."""
     from flax import linen as nn
 
     from mkg_analogy_tpu.models import common
@@ -209,11 +210,11 @@ def test_gelu_poly_matches_erf():
                      np.float64)
     assert np.abs(got - ref64).max() < 3e-6
 
-    # gradient agreement (jax autodiff of both implementations, fp32)
-    xs = jnp.asarray(np.linspace(-5, 5, 20_001), jnp.float32)
+    # gradient agreement (jax autodiff of erf vs the custom-JVP series)
+    xs = jnp.asarray(np.linspace(-9, 9, 20_001), jnp.float32)
     dref = jax.vmap(jax.grad(lambda v: nn.gelu(v, approximate=False)))(xs)
     dgot = jax.vmap(jax.grad(common.gelu_poly))(xs)
-    assert np.abs(np.asarray(dref) - np.asarray(dgot)).max() < 2e-4
+    assert np.abs(np.asarray(dref) - np.asarray(dgot)).max() < 2e-5
 
     # bf16 bit-identity vs the production fp32-erf path on activations
     acts = np.random.default_rng(0).normal(0, 1.5, 500_000)
