@@ -12,6 +12,15 @@ OUT=/tmp/r4b
 DEADLINE_UTC=${DEADLINE_UTC:-"12:48"}
 mkdir -p "$OUT/logs"
 
+# The original queue's supervisor is killed BETWEEN stages, but its
+# current `timeout python -m ...cli.main` child survives reparented to
+# PID 1 (CLAUDE.md wrapper-PID gotcha) — wait for it to drain so the chip
+# stays single-client.
+for i in $(seq 1 120); do
+  pgrep -f "mkg_analogy_tpu.cli.main" >/dev/null 2>&1 || break
+  sleep 30
+done
+
 past_deadline () { [ "$(date -u +%H:%M)" \> "$DEADLINE_UTC" ]; }
 secs_to_deadline () {
   local now dl
