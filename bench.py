@@ -84,6 +84,7 @@ def main():
     watchdog = _watchdog()
     from __graft_entry__ import _synthetic_batch
     from mkg_analogy_tpu.core.mesh import make_mesh
+    from mkg_analogy_tpu.models import common as _common
     from mkg_analogy_tpu.models.unimo import TextConfig, UnimoConfig, UnimoForMaskedLM
     from mkg_analogy_tpu.train.trainer import MarTTrainer, TrainConfig
 
@@ -132,6 +133,13 @@ def main():
                 "vs_baseline": round(
                     examples_per_sec_per_chip / A100_PYTORCH_EXAMPLES_PER_SEC_EST, 3
                 ),
+                # Semantics note for cross-round comparison: BENCH_r03's
+                # 870.49 ran the tanh-GELU default that round 4 RETRACTED
+                # for a measured -6 pt test-Hits@1 quality cost. This run
+                # uses the quality-gated gelu_poly default (erf to 2.1e-6
+                # fwd / 4.3e-6 grad); the like-for-like progression is
+                # erf 768-775 -> poly 820-827 at B=32 (RESULTS.md).
+                "gelu": _common.GELU_IMPL,
             }
         )
     )

@@ -123,22 +123,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "long L), 0 -> XLA einsum path; default = "
                         "models.common.USE_FUSED_ATTENTION "
                         "(the configuration bench.py records)")
-    p.add_argument("--exact_gelu", type=int, default=1, choices=[0, 1],
-                   help="1 (default) -> exact erf gelu, the reference's "
-                        "semantics, in every dtype. 0 -> tanh approximation "
-                        "under bf16: +12% step throughput on v5e but "
-                        "measured -6 points test Hits@1 on the MARS recipe "
-                        "(round-4 same-seed A/B; models/common.py) — "
-                        "throughput experiments only.")
+    p.add_argument("--exact_gelu", type=int, default=None, choices=[0, 1],
+                   help="1 -> exact erf gelu, the reference's semantics, in "
+                        "every dtype. 0 -> tanh approximation under bf16: "
+                        "+12% step throughput on v5e but measured -6 points "
+                        "test Hits@1 on the MARS recipe (round-4 same-seed "
+                        "A/B; models/common.py) — throughput experiments "
+                        "only. Unset -> the module default (gelu_poly under "
+                        "bf16 since round 4; fp32 always exact erf).")
     p.add_argument("--gelu_impl", type=str, default=None,
                    choices=["erf", "tanh", "poly"],
                    help="gelu lowering for bf16 compute (fp32 always uses "
-                        "exact erf): erf (default, reference semantics), "
-                        "tanh (retracted; quality caveat at --exact_gelu), "
-                        "poly (degree-14 Chebyshev minimax fit of erf-gelu, "
-                        ">99% bf16-bit-identical, grad deviation <=1.2e-4 "
-                        "vs tanh's 8.7e-4 — models/common.py gelu_poly). "
-                        "Overrides --exact_gelu when given.")
+                        "exact erf): poly (default since round 4: degree-14 "
+                        "Chebyshev minimax fit of erf-gelu, fwd within "
+                        "2.1e-6 and grad within 4.3e-6 of erf everywhere, "
+                        "+6.8% step throughput, quality-gated by the 2-seed "
+                        "A/B in RESULTS.md — models/common.py gelu_poly), "
+                        "erf (exact reference semantics), tanh (retracted; "
+                        "quality caveat at --exact_gelu). Overrides "
+                        "--exact_gelu when given.")
     p.add_argument("--fused_adamw", action="store_true", default=False,
                    help="vector-fused small-leaf AdamW (train/optim.fused_adamw):"
                         " numerically optax.adamw; measured throughput-neutral"
@@ -199,10 +202,10 @@ def main(argv=None):
         from ..models import common as _common
 
         _common.set_gelu_impl(args.gelu_impl)
-    elif not args.exact_gelu:
+    elif args.exact_gelu is not None:
         from ..models import common as _common
 
-        _common.set_gelu_exact(False)
+        _common.set_gelu_exact(bool(args.exact_gelu))
 
     vocab_file = None
     if args.model_name_or_path and args.model_name_or_path != "wordpiece-kg":

@@ -15,8 +15,9 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # The reference's "gelu" is torch.nn.functional.gelu = exact erf
-# (modeling_unimo.py ACT2FN via HF transformers). The default is exact erf
-# in EVERY dtype. Round 3 shipped the tanh approximation as the bf16
+# (modeling_unimo.py ACT2FN via HF transformers). fp32 compute (the
+# torch-parity dtype) ALWAYS uses exact erf. Under bf16 the history:
+# round 3 shipped the tanh approximation as the bf16
 # default (+12% step throughput; max deviation 4.8e-4, sub-bf16-ULP) on a
 # metric-neutrality claim whose validation arm never ran — round 4 ran it:
 # same-seed scratch-15 on MARS lands at test Hits@1 0.2203 (tanh) vs
@@ -28,14 +29,20 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 # experiments via set_gelu_impl("tanh") / --gelu_impl tanh, quality caveat
 # documented at the flag.
 #
-# "poly" is a 300x-tighter replacement candidate: a degree-14 Chebyshev
-# minimax fit evaluated by Clenshaw in fp32 (gelu_poly below). Its bf16
-# outputs are >99% bit-identical to erf-gelu and its GRADIENT deviates by
-# at most ~1.2e-4 in a negligible-measure band near |x|=6 (~3e-5 on
-# |x|<5, vs tanh's 8.7e-4 everywhere) — but per the retraction lesson,
-# only the end-to-end quality A/B in RESULTS.md can license it as a
-# default. Provenance + validation: tools/fit_gelu_poly.py.
-GELU_IMPL = "erf"  # "erf" | "tanh" | "poly" (non-fp32 inputs only)
+# "poly" — the bf16 default since round 4 — is a 200x-tighter replacement
+# than tanh ever was: a degree-14 Chebyshev minimax fit evaluated by
+# Clenshaw in fp32 (gelu_poly below), forward within 2.1e-6 of erf
+# everywhere (>99.5% of bf16-resolvable outputs bit-identical) and, via
+# the custom-JVP fitted derivative series, gradient within 4.3e-6 of
+# erf-gelu's over the whole real line (tanh: 8.7e-4). Unlike the tanh
+# episode it passed the gate the retraction demanded BEFORE becoming the
+# default: measured +6.8% step throughput at the recipe point (820/827
+# vs 768/775 ex/s) AND end-to-end same-seed quality arms statistically
+# indistinguishable from erf (RESULTS.md "gelu_poly end-to-end quality
+# A/B"). fp32 compute always uses exact erf (torch-parity dtype);
+# --gelu_impl erf restores exact erf under bf16 too. Provenance +
+# validation gates: tools/fit_gelu_poly.py.
+GELU_IMPL = "poly"  # "erf" | "tanh" | "poly" (non-fp32 inputs only)
 
 
 def set_gelu_exact(exact: bool) -> None:

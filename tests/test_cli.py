@@ -441,3 +441,45 @@ def test_limit_train_batches_int_vs_fraction():
     assert resolve(0.25, 100) == 25
     assert resolve(None, 100) is None
     assert resolve(7, 100) == 7
+
+
+def test_gelu_flag_dispatch(dataset, tmp_path):
+    """Round-4 default flip (models/common.py GELU_IMPL = "poly"): the CLI
+    must leave the module default alone unless a gelu flag is given —
+    --exact_gelu now defaults to None (NOT 1) so that "no flag" means
+    "quality-gated poly under bf16", while an explicit --exact_gelu 1
+    still pins exact erf and --gelu_impl overrides everything."""
+    from mkg_analogy_tpu.cli.main import main
+    from mkg_analogy_tpu.models import common
+
+    root, markg_dir, mars_dir = dataset
+    entering = common.GELU_IMPL
+    tiny = [
+        "--data_dir", mars_dir,
+        "--pretrain_path", markg_dir,
+        "--model_class", "MKGformerKGC",
+        "--max_epochs", "1",
+        "--limit_train_batches", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--max_seq_length", "48",
+        "--text_vocab_size", "256",
+        "--hidden_size", "32",
+        "--num_layers", "2",
+        "--num_heads", "2",
+        "--intermediate_size", "64",
+        "--dtype", "float32",
+        "--cache_dir", str(tmp_path / "cache"),
+        "--log_dir", str(tmp_path / "logs"),
+    ]
+    try:
+        assert common.GELU_IMPL == "poly"  # module default
+        main(tiny + ["--output_dir", str(tmp_path / "o1")])
+        assert common.GELU_IMPL == "poly", "no flag must not disturb the default"
+        main(tiny + ["--output_dir", str(tmp_path / "o2"), "--exact_gelu", "1"])
+        assert common.GELU_IMPL == "erf", "--exact_gelu 1 pins exact erf"
+        main(tiny + ["--output_dir", str(tmp_path / "o3"), "--gelu_impl", "poly",
+                     "--exact_gelu", "1"])
+        assert common.GELU_IMPL == "poly", "--gelu_impl overrides --exact_gelu"
+    finally:
+        common.set_gelu_impl(entering)

@@ -157,12 +157,14 @@ def test_ikrl_softplus_sign_quirk():
 
 
 def test_gelu_dispatch_default_erf_tanh_opt_in():
-    """Round-4 retraction of the round-3 tanh default: "gelu" is the
-    reference's exact erf in EVERY dtype by default — the round-3
-    metric-neutrality claim failed its validation arm (same-seed MARS
-    scratch-15: tanh test Hits@1 0.2203 vs erf 0.2849; models/common.py).
-    The tanh approximation stays available for throughput experiments via
-    set_gelu_exact(False) / --exact_gelu 0, bf16 only."""
+    """Round-4 retraction of the round-3 tanh default: "gelu" under fp32
+    (the torch-parity dtype) is ALWAYS the reference's exact erf — the
+    round-3 tanh metric-neutrality claim failed its validation arm
+    (same-seed MARS scratch-15: tanh test Hits@1 0.2203 vs erf 0.2849;
+    models/common.py). The bf16 default is the quality-gated gelu_poly
+    (see test_gelu_poly_matches_erf); --gelu_impl erf restores exact erf
+    under bf16; the tanh approximation stays available for throughput
+    experiments via set_gelu_exact(False) / --exact_gelu 0, bf16 only."""
     from flax import linen as nn
 
     from mkg_analogy_tpu.models import common
@@ -170,17 +172,21 @@ def test_gelu_dispatch_default_erf_tanh_opt_in():
     # include deep-tail points where the two variants differ even at bf16
     x = jnp.asarray([0.5, -1.5, 2.69, -5.0, -6.5], jnp.float32)
     g = common.get_activation("gelu")
-    assert common.GELU_IMPL == "erf", "exact erf must be the default"
+    assert common.GELU_IMPL == "poly", "gelu_poly is the bf16 default"
+    # fp32 is exact erf regardless of the configured bf16 impl
     np.testing.assert_array_equal(
         np.asarray(g(x)), np.asarray(nn.gelu(x, approximate=False)))
     xb = x.astype(jnp.bfloat16)
-    np.testing.assert_array_equal(
-        np.asarray(g(xb), np.float32),
-        np.asarray(nn.gelu(xb, approximate=False), np.float32))
-    # sanity: the two variants ARE distinguishable on these inputs
+    # sanity: tanh and erf ARE distinguishable on these inputs
     assert np.any(np.asarray(nn.gelu(xb, approximate=True), np.float32)
                   != np.asarray(nn.gelu(xb, approximate=False), np.float32))
+    entering = common.GELU_IMPL
     try:
+        common.set_gelu_impl("erf")
+        # --gelu_impl erf restores exact erf under bf16
+        np.testing.assert_array_equal(
+            np.asarray(g(xb), np.float32),
+            np.asarray(nn.gelu(xb, approximate=False), np.float32))
         common.set_gelu_exact(False)
         # opt-in tanh applies to bf16 ...
         np.testing.assert_array_equal(
@@ -190,16 +196,17 @@ def test_gelu_dispatch_default_erf_tanh_opt_in():
         np.testing.assert_array_equal(
             np.asarray(g(x)), np.asarray(nn.gelu(x, approximate=False)))
     finally:
-        common.set_gelu_exact(True)
+        common.set_gelu_impl(entering)
 
 
 def test_gelu_poly_matches_erf():
-    """gelu_poly (models/common.py) is the candidate replacement for the
-    erf expansion in bf16 compute: validated here against the fp64 ground
-    truth and the production fp32 erf path (full gates in
-    tools/fit_gelu_poly.py). Unlike the retracted tanh approximation, its
-    GRADIENT is a custom-JVP fitted series agreeing with erf-gelu's to
-    4.3e-6 over the whole real line (tanh: 8.7e-4)."""
+    """gelu_poly (models/common.py) — the bf16-compute default since
+    round 4, quality-gated by the 2-seed same-seed A/B in RESULTS.md —
+    validated here against the fp64 ground truth and the production fp32
+    erf path (full gates in tools/fit_gelu_poly.py). Unlike the retracted
+    tanh approximation, its GRADIENT is a custom-JVP fitted series
+    agreeing with erf-gelu's to 4.3e-6 over the whole real line (tanh:
+    8.7e-4)."""
     from flax import linen as nn
 
     from mkg_analogy_tpu.models import common
@@ -228,6 +235,7 @@ def test_gelu_poly_matches_erf():
 
     # dispatch: poly applies to bf16 only; fp32 keeps exact erf
     g = common.get_activation("gelu")
+    entering = common.GELU_IMPL
     try:
         common.set_gelu_impl("poly")
         xb = jnp.asarray([0.5, -1.5, 2.69], jnp.bfloat16)
@@ -238,7 +246,7 @@ def test_gelu_poly_matches_erf():
         np.testing.assert_array_equal(
             np.asarray(g(xf)), np.asarray(nn.gelu(xf, approximate=False)))
     finally:
-        common.set_gelu_impl("erf")
+        common.set_gelu_impl(entering)
 
 
 def _erf64(x):

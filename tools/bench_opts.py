@@ -13,8 +13,9 @@ Variants:
   bf16stage   — params cast to bf16 once per step outside jax.grad
   tdense      — pre-transposed Dense kernels (wgrad layout experiment)
   gelutanh/geluexact/gelupoly — force tanh / exact-erf / Chebyshev-poly
-                gelu (erf is the default; tanh retracted round 4;
-                gelupoly is the round-4 candidate, quality-A/B gated)
+                gelu (gelupoly is the bf16 default since round 4, quality-
+                A/B gated; tanh retracted round 4; "base" therefore now
+                measures the poly path — use geluexact for the erf anchor)
   remat_probs — save post-dropout attention probs instead of recomputing
   autolayout  — XLA AUTO in/out layouts on the donated train state
                 (compiler-chosen weight/moment layouts; targets the
@@ -124,7 +125,8 @@ def patch_gelutanh():
 
 
 def patch_geluexact():
-    """Force exact erf gelu (the production default again since round 4)."""
+    """Force exact erf gelu (the reference's bit-semantics anchor; the
+    production bf16 default is gelu_poly since the round-4 quality gate)."""
     from mkg_analogy_tpu.models import common
 
     common.set_gelu_exact(True)
