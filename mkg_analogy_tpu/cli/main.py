@@ -398,7 +398,10 @@ def main(argv=None):
         if args.checkpoint:
             restored = Checkpointer(args.checkpoint).restore(like=params)
             params = partial_restore(params, restored)
-        metrics = trainer.evaluate(params, test_feats, attach=attach)
+        metrics = trainer.evaluate(
+            params, test_feats, attach=attach,
+            dump_path=(os.path.join(args.output_dir, "test_ranks.npz")
+                       if args.output_dir else None))
         logger.log(0, metrics, prefix="test/")
         print(metrics)
         return metrics
@@ -420,7 +423,10 @@ def main(argv=None):
     params = state.params
     if ckpt.saved_steps:
         params = ckpt.restore(step=ckpt.saved_steps[-1], like=params)
-    test_metrics = trainer.evaluate(params, test_feats, attach=attach)
+    test_metrics = trainer.evaluate(
+        params, test_feats, attach=attach,
+        dump_path=(os.path.join(args.output_dir, "test_ranks.npz")
+                   if args.output_dir else None))
     logger.log(int(state.step), test_metrics, prefix="test/")
     print(test_metrics)
     if args.export_torch and args.model_class == "MKGformerKGC":

@@ -32,6 +32,19 @@ def ranks_from_scores(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return greater + ties_before + 1
 
 
+def tie_counts(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Size of the score tie-group containing the label (>=1; 1 = unique).
+
+    Diagnostic for rank-histogram analysis: under the stable-sort rank
+    semantics above, a label inside a tie-group of size g can land anywhere
+    in a g-wide rank window, so large tie-groups flatten the Hits@k curve
+    between k=1 and k=g (reference tie behavior is identical,
+    lit_models/transformer.py:162-164 — torch argsort is also stable).
+    """
+    s_label = jnp.take_along_axis(scores, labels[:, None], axis=1)
+    return jnp.sum((scores == s_label).astype(jnp.int32), axis=1)
+
+
 def rank_metrics(ranks: jnp.ndarray, ks=(1, 3, 5, 10, 20)) -> Dict[str, jnp.ndarray]:
     """Hits@k / mean-rank / MRR over a vector of 1-based ranks."""
     r = ranks.astype(jnp.float32)

@@ -35,7 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..core.mesh import make_mesh
 from ..data.batching import BatchIterator
 from ..ops.losses import label_smoothing_cross_entropy, relaxation_loss
-from ..ops.ranking import rank_metrics, ranks_from_scores
+from ..ops.ranking import rank_metrics, ranks_from_scores, tie_counts
 from ..parallel.shardings import batch_spec, make_shardings, shard_params_spec
 from ..utils.logging import MetricLogger
 from .optim import make_optimizer
@@ -355,8 +355,12 @@ class MarTTrainer:
             # left alone (gathered rows, small matmul).
             logits = self._shard_eval_logits(logits)
         ranks = ranks_from_scores(logits, batch["label"])
-        return {"ranks": ranks, "is_rel": jnp.zeros_like(ranks, bool),
-                "valid": batch["valid"]}
+        out = {"ranks": ranks, "is_rel": jnp.zeros_like(ranks, bool),
+               "valid": batch["valid"],
+               "tie": tie_counts(logits, batch["label"])}
+        if "mode" in batch:  # per-mode rank diagnostics (Hits@k anatomy)
+            out["mode"] = batch["mode"]
+        return out
 
     # -------------------------------------------------------------- jit plumbing
     def _get_jitted(self, name, fn, donate=()):
@@ -409,7 +413,8 @@ class MarTTrainer:
         return jax.device_put(batch, shardings)
 
     # ------------------------------------------------------------------- loops
-    def evaluate(self, params, features, attach=None) -> Dict[str, float]:
+    def evaluate(self, params, features, attach=None,
+                 dump_path=None) -> Dict[str, float]:
         cfg = self.config
         it = BatchIterator(
             features, cfg.eval_batch_size, shuffle=False, attach=attach,
@@ -432,15 +437,43 @@ class MarTTrainer:
         all_is_rel = [o["is_rel"][o["valid"]] for o in outs]
         ranks = np.concatenate(all_ranks)
         is_rel = np.concatenate(all_is_rel)
+        ties = (np.concatenate([o["tie"][o["valid"]] for o in outs])
+                if "tie" in outs[0] else None)
+        modes = (np.concatenate([o["mode"][o["valid"]] for o in outs])
+                 if "mode" in outs[0] else None)
         metrics: Dict[str, float] = {}
         ent_ranks = ranks[~is_rel]
         if ent_ranks.size:
             for k, val in rank_metrics(jnp.asarray(ent_ranks)).items():
                 metrics[f"Eval_entity/{k}"] = float(val)
+            if ties is not None:
+                ent_ties = ties[~is_rel]
+                metrics["Eval_entity/tie_mean"] = float(ent_ties.mean())
+                metrics["Eval_entity/tie_frac"] = float(
+                    (ent_ties > 1).mean())
+            if modes is not None:
+                # per-mode anatomy of the Hits@k curve (modes 0/1/2,
+                # dataset/README.md:49-58); only hits1/hits10/mrr to keep
+                # the log compact
+                ent_modes = modes[~is_rel]
+                for m in (0, 1, 2):
+                    sel = ent_ranks[ent_modes == m]
+                    if sel.size:
+                        mm = rank_metrics(jnp.asarray(sel), ks=(1, 10))
+                        for k in ("hits1", "hits10", "mrr"):
+                            metrics[f"Eval_entity/{k}_mode{m}"] = float(mm[k])
         rel_ranks = ranks[is_rel]
         if rel_ranks.size:
             for k, val in rank_metrics(jnp.asarray(rel_ranks)).items():
                 metrics[f"Eval_relation/{k}"] = float(val)
+        if dump_path:
+            # raw per-example ranks for offline histogram analysis
+            import os
+
+            os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
+            np.savez(dump_path, ranks=ranks, is_rel=is_rel,
+                     **({"tie": ties} if ties is not None else {}),
+                     **({"mode": modes} if modes is not None else {}))
         return metrics
 
     def fit(
