@@ -126,11 +126,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact_gelu", type=int, default=None, choices=[0, 1],
                    help="1 -> exact erf gelu, the reference's semantics, in "
                         "every dtype. 0 -> tanh approximation under bf16: "
-                        "+12% step throughput on v5e but measured -6 points "
-                        "test Hits@1 on the MARS recipe (round-4 same-seed "
-                        "A/B; models/common.py) — throughput experiments "
-                        "only. Unset -> the module default (gelu_poly under "
-                        "bf16 since round 4; fp32 always exact erf).")
+                        "+12% step throughput on v5e; quality-inconclusive "
+                        "at n=2 same-seed pairs (tanh-erf = -6.5/+0.9 pts "
+                        "Hits@1, RESULTS.md round-4 qualification) and "
+                        "retracted as default on reference-semantics "
+                        "grounds — throughput experiments only. Unset -> "
+                        "the module default (gelu_poly under bf16 since "
+                        "round 4; fp32 always exact erf).")
     p.add_argument("--gelu_impl", type=str, default=None,
                    choices=["erf", "tanh", "poly"],
                    help="gelu lowering for bf16 compute (fp32 always uses "

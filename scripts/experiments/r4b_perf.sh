@@ -10,7 +10,10 @@
 #   P3  erf + gelupoly at B=64 (throughput sweet spot re-anchor)
 #   P4  autolayout B=32 x2 (copy-done tail candidate)
 #   P5  two XLA flag probes on the erf base
-# Logs: /tmp/r4b/perf.log (one JSON line per run via bench_opts).
+# Logs: stages write to stdout — run as
+#   bash r4b_perf.sh > /tmp/r4b_perf_driver.log 2>&1
+# (r4b_quality.sh's POLY_GO gate reads /tmp/r4b_perf_driver.log; a
+# different redirect silently disables the poly quality arms).
 set -x -o pipefail
 cd /root/repo
 OUT=/tmp/r4b

@@ -135,8 +135,10 @@ def patch_geluexact():
 def patch_gelupoly():
     """Degree-14 Chebyshev minimax gelu (models/common.py gelu_poly):
     targets the ~4.4 ms/step erf VPU tail with >99% bf16 bit-identity and
-    <=1.2e-4 gradient deviation (tanh's was 8.7e-4). Default-change gated
-    on the end-to-end quality A/B per the round-4 tanh retraction."""
+    <=4.3e-6 gradient deviation via the custom-JVP fitted derivative
+    (tanh's was 8.7e-4; the retired v1 plain-autodiff kernel had a
+    1.2e-4 clamp-corner blip). Default-change gated on the end-to-end
+    quality A/B per the round-4 tanh retraction."""
     from mkg_analogy_tpu.models import common
 
     common.set_gelu_impl("poly")

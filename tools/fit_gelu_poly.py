@@ -11,7 +11,7 @@ This script fits a STRUCTURAL approximation to the exact function:
     gelu(x) = x/2 * (1 + t(x)),
     t(x)    = clip(x * q(s), -1, 1),   s = clip(x^2/18 - 1, -1, 1)
 
-with q a degree-13 Chebyshev series in s (x-degree 27 overall) fitted to
+with q a degree-14 Chebyshev series in s (x-degree 29 overall) fitted to
 erf(x/sqrt(2))/x on |x| <= 6. g(u) = erf(sqrt(u/2))/sqrt(u) is ENTIRE in
 u = x^2 (the erf(w)/w Taylor series is even in w), so the Chebyshev
 coefficients decay super-geometrically and the basis keeps every
