@@ -54,6 +54,13 @@ def build_parser():
     p.add_argument("--task_mode", choices=["text", "random"], default="text")
     p.add_argument("--triple_classification", action="store_true",
                    help="also run triple classification after link prediction")
+    p.add_argument("--holdout_frac", type=float, default=0.0,
+                   help="carve this fraction each for valid/test out of the "
+                        "training triples (seeded) and evaluate link "
+                        "prediction on the held-out test split. The "
+                        "reference has no such split: its valid2id/test2id "
+                        "are byte-copies of train2id (see "
+                        "kge/sampling.split_store)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_dir", default="training/logs")
     return p
@@ -93,6 +100,14 @@ def main(argv=None):
         store = TripleStore.from_arrays(
             markg.triples_as_ids(), markg.num_entities, markg.num_relations
         )
+    if args.holdout_frac:
+        from ..kge.sampling import split_store
+
+        store, valid_store, test_store = split_store(
+            store, args.holdout_frac, seed=args.seed
+        )
+        print(f"holdout split: train={len(store)} valid={len(valid_store)} "
+              f"test={len(test_store)}")
 
     visual = None
     if args.visual_features and os.path.exists(args.visual_features):

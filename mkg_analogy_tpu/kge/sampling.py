@@ -90,6 +90,34 @@ class TripleStore:
         )
 
 
+def split_store(store: "TripleStore", holdout_frac: float, seed: int = 0):
+    """Seeded train/valid/test split of a TripleStore.
+
+    The reference's KGE data has NO held-out link-prediction split —
+    its ``valid2id.txt``/``test2id.txt`` are byte-identical copies of
+    ``train2id.txt`` (M-KGE/IKRL_TransAE/data/analogy, verified by md5),
+    so its reported link prediction is train-set evaluation. This helper
+    is the deliberate improvement: carve ``holdout_frac`` each for valid
+    and test from the triples (seeded permutation) and train on the rest.
+    Entity/relation universes are inherited so embeddings cover held-out
+    triples (MarKG entities all appear in multiple triples).
+    """
+    n = len(store)
+    n_hold = int(n * holdout_frac)
+    if not 0 < n_hold < n // 2:
+        raise ValueError(f"holdout_frac {holdout_frac} infeasible for {n} triples")
+    perm = np.random.default_rng(seed).permutation(n)
+    parts = {}
+    for name, idx in (("test", perm[:n_hold]),
+                      ("valid", perm[n_hold:2 * n_hold]),
+                      ("train", perm[2 * n_hold:])):
+        parts[name] = TripleStore(
+            store.heads[idx], store.tails[idx], store.rels[idx],
+            store.num_entities, store.num_relations,
+        )
+    return parts["train"], parts["valid"], parts["test"]
+
+
 class NegativeSampler:
     """Epoch iterator producing OpenKE-layout training batches."""
 

@@ -97,3 +97,28 @@ def test_openke_dir_roundtrip(tmp_path, store):
     np.testing.assert_array_equal(s2.heads, store.heads)
     np.testing.assert_array_equal(s2.tails, store.tails)
     np.testing.assert_array_equal(s2.rels, store.rels)
+
+
+def test_split_store_holdout(store):
+    from mkg_analogy_tpu.kge.sampling import split_store
+
+    tr, va, te = split_store(store, 0.1, seed=3)
+    n_hold = int(len(store) * 0.1)
+    assert len(va) == len(te) == n_hold
+    assert len(tr) == len(store) - 2 * n_hold
+    # partition: every original triple lands in exactly one split
+    def keyset(s):
+        return {(int(h), int(t), int(r))
+                for h, t, r in zip(s.heads, s.tails, s.rels)}
+
+    all_keys = keyset(store)
+    k_tr, k_va, k_te = keyset(tr), keyset(va), keyset(te)
+    assert k_tr | k_va | k_te == all_keys
+    assert not (k_tr & k_te) and not (k_va & k_te)
+    # universes inherited (embeddings cover held-out entities)
+    assert tr.num_entities == store.num_entities
+    assert tr.num_relations == store.num_relations
+    # deterministic under the same seed
+    tr2, _, te2 = split_store(store, 0.1, seed=3)
+    np.testing.assert_array_equal(tr2.heads, tr.heads)
+    np.testing.assert_array_equal(te2.heads, te.heads)
