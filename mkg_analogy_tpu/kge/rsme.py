@@ -331,13 +331,14 @@ class RSMETrainer:
               rng: np.random.Generator) -> Tuple[RSMEState, float]:
         order = rng.permutation(len(examples))
         bs = self.cfg.batch_size
-        total, nb = 0.0, 0
+        losses = []  # device-side; one host sync per epoch, not per step
         for b in range(0, len(examples) - bs + 1, bs):
             batch = jnp.asarray(examples[order[b : b + bs]], jnp.int32)
             state, loss = self.step(state, batch)
-            total += float(loss)
-            nb += 1
-        return state, total / max(nb, 1)
+            losses.append(loss)
+        if not losses:
+            return state, 0.0
+        return state, float(jnp.stack(losses).mean())
 
 
 # ----------------------------------------------------------------- dataset

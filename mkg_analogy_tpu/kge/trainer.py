@@ -134,7 +134,10 @@ class KGETrainer:
             state = self.init_state(rng)
         step_rng = jax.random.fold_in(rng, 1)
         for epoch in range(self.cfg.train_times):
-            total = 0.0
+            # Keep per-step losses on device; a float() per step would be a
+            # host sync over the TPU tunnel (~200k syncs at the reference
+            # budget of 2000 epochs x 100 batches, IKRL.py:1006).
+            losses = []
             for batch in sampler:
                 dev_batch = {
                     k: jnp.asarray(v)
@@ -142,8 +145,9 @@ class KGETrainer:
                     if k in ("batch_h", "batch_t", "batch_r")
                 }
                 state, loss = self.pretrain_step(state, dev_batch, step_rng)
-                total += float(loss)
+                losses.append(loss)
             if logger and (epoch % log_every == 0 or epoch == self.cfg.train_times - 1):
+                total = float(jnp.stack(losses).sum())
                 logger.log(int(state.step), {"epoch_loss": total, "epoch": epoch},
                            prefix="kge_pretrain/")
         return state
@@ -176,7 +180,7 @@ class KGETrainer:
         n = len(tuples)
         for epoch in range(cfg.finetune_epochs):
             order = rng.permutation(n)
-            total = 0.0
+            losses = []  # device-side; one sync per logged epoch (see pretrain)
             for b in range(n // bs):
                 rows = tuples[order[b * bs : (b + 1) * bs]]
                 batch = dict(
@@ -187,8 +191,9 @@ class KGETrainer:
                     task_mode=jnp.asarray(rows[:, 5]),
                 )
                 state, loss = self.finetune_step(state, batch)
-                total += float(loss)
+                losses.append(loss)
             if logger and (epoch % log_every == 0 or epoch == cfg.finetune_epochs - 1):
+                total = float(jnp.stack(losses).sum())
                 logger.log(int(state.step), {"epoch_loss": total, "epoch": epoch},
                            prefix="kge_finetune/")
         return state
