@@ -144,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "erf (exact reference semantics), tanh (retracted; "
                         "quality caveat at --exact_gelu). Overrides "
                         "--exact_gelu when given.")
+    p.add_argument("--qk_bf16_grad", type=int, default=None, choices=[0, 1],
+                   help="1 -> compute the attention dq/dk backward GEMMs in "
+                        "the compute dtype instead of f32 (exact forward; "
+                        "the score cotangent is already bf16-grained from "
+                        "the probs@V backward — models/common.py "
+                        "QK_BF16_GRAD). Off by default pending the "
+                        "round-5 end-to-end quality A/B.")
     p.add_argument("--fused_adamw", action="store_true", default=False,
                    help="vector-fused small-leaf AdamW (train/optim.fused_adamw):"
                         " numerically optax.adamw; measured throughput-neutral"
@@ -208,6 +215,10 @@ def main(argv=None):
         from ..models import common as _common
 
         _common.set_gelu_exact(bool(args.exact_gelu))
+    if args.qk_bf16_grad is not None:
+        from ..models import common as _common
+
+        _common.set_qk_bf16_grad(bool(args.qk_bf16_grad))
 
     vocab_file = None
     if args.model_name_or_path and args.model_name_or_path != "wordpiece-kg":

@@ -57,6 +57,49 @@ def set_gelu_impl(impl: str) -> None:
     GELU_IMPL = impl
 
 
+# QK^T backward dtype experiment (round 5). The forward QK^T einsum keeps
+# f32 scores (exact — softmax needs them), but its autodiff backward then
+# runs dq/dk as f32-cotangent x bf16-operand GEMMs, which the MXU executes
+# as slow multi-pass fp32 matmuls (~1.1 ms/step of `conv f32[B,12,L,64]`
+# in the poly-base attr_trace). The gradient signal arriving at the scores
+# is ALREADY bf16-grained: dprobs comes out of the bf16 probs@V backward,
+# so keeping the softmax-jacobian product in f32 adds at most one rounding
+# step of information. With QK_BF16_GRAD the score cotangent is cast to
+# the compute dtype before the dq/dk GEMMs (exact forward, bf16 MXU
+# backward). Default OFF: per the tanh-gelu retraction lesson, any
+# gradient-side approximation ships only after an end-to-end quality A/B
+# (RESULTS.md round-5 perf session).
+QK_BF16_GRAD = False
+
+
+def set_qk_bf16_grad(enabled: bool) -> None:
+    global QK_BF16_GRAD
+    QK_BF16_GRAD = bool(enabled)
+
+
+@jax.custom_vjp
+def _qk_scores_bf16grad(q, k):
+    """bf16 QK^T with f32 scores whose VJP casts the cotangent to the
+    input dtype (see QK_BF16_GRAD above)."""
+    return jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32)
+
+
+def _qk_scores_fwd(q, k):
+    return _qk_scores_bf16grad(q, k), (q, k)
+
+
+def _qk_scores_bwd(res, g):
+    q, k = res
+    gc = g.astype(q.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", gc, k)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", gc, q)
+    return dq.astype(q.dtype), dk.astype(k.dtype)
+
+
+_qk_scores_bf16grad.defvjp(_qk_scores_fwd, _qk_scores_bwd)
+
+
 # Chebyshev coefficients of q in s = clip(x^2/18 - 1, -1, 1), fitted so
 # that clip(x*q(s), -1, 1) is a minimax approximation of erf(x/sqrt(2))
 # (max product error 4.2e-7 in fp64, 2.2e-6 evaluated in fp32). Fit,
@@ -329,9 +372,13 @@ class AttentionCore(nn.Module):
 
         def core(q, k, v, attention_bias, analogy_arrs, key):
             scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
-            scores = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) * scale
+            if QK_BF16_GRAD and q.dtype != jnp.float32:
+                scores = _qk_scores_bf16grad(q, k) * scale
+            else:
+                scores = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k,
+                    preferred_element_type=jnp.float32,
+                ) * scale
             if analogy_arrs is not None:
                 from ..ops.masks import analogy_score_multiplier
 

@@ -384,6 +384,13 @@ def main():
         patch_bf16stage(keep_gnorm=True)
     if args.variant == "bf16stage+nognorm":
         patch_bf16stage(keep_gnorm=False)
+    if args.variant == "qkgrad":
+        # attention dq/dk backward GEMMs in bf16 instead of f32 (the score
+        # cotangent is already bf16-grained at dprobs; models/common.py
+        # QK_BF16_GRAD). Targets the ~1.1 ms/step of `conv f32[B,12,L,64]`
+        # in the poly-base attr_trace.
+        from mkg_analogy_tpu.models import common
+        common.set_qk_bf16_grad(True)
     if args.variant == "remat_probs":
         patch_remat_save_probs()
     if args.variant == "remat_probs+bf16stage+nognorm":
