@@ -6,10 +6,12 @@
 # link-prediction split (the reference's valid2id/test2id are byte-copies
 # of train2id — kge/sampling.split_store docstring).
 #
-# Runs on the CPU platform (jax.config.update before device init beats the
-# sitecustomize axon pin) so it can proceed concurrently with the MarT
-# headline queue that owns the chip; these are embedding-table models.
-# RSME rank-1000 is NOT here — its full-softmax needs the chip (r5_queue_b).
+# SUPERSEDED for the full budgets by scripts/experiments/r5_queue_bc.sh (the
+# chip queue): a CPU timing probe showed the per-batch img_project GEMM
+# (4096->400 over ~15k rows incl. negatives) makes 2000 CPU epochs take
+# days, not hours. Kept as the CPU recipe for small-budget smoke runs
+# (reduce --train_times) when the chip is busy or the tunnel is dead;
+# the jax.config.update in tools/cpu_cli.py beats the sitecustomize pin.
 set -x -o pipefail
 cd /root/repo
 OUT=/tmp/r5kge
