@@ -63,6 +63,17 @@ def build_parser():
                         "kge/sampling.split_store)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_dir", default="training/logs")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training and evaluate the restored --ckpt "
+                        "(link prediction in pretrain mode, analogical "
+                        "reasoning with --finetune). The reference has no "
+                        "such entry — its eval is inlined after training "
+                        "(IKRL.py:1040-1107); this makes checkpoints "
+                        "re-scorable, e.g. on the host CPU")
+    p.add_argument("--dump_ranks", default=None,
+                   help="npz path for per-example analogy-eval ranks "
+                        "(keys ranks/mode/tie — tools/analyze_ranks.py "
+                        "layout); finetune mode only")
     return p
 
 
@@ -145,25 +156,29 @@ def main(argv=None):
     if args.ckpt:
         restored = Checkpointer(args.ckpt).restore(like=state.params)
         state = state.replace(params=restored)
+    if args.eval_only:
+        assert args.ckpt, "--eval_only needs --ckpt"
 
     if not args.finetune:
-        native = None
-        if args.use_native_sampler:
-            assert args.in_path, "--use_native_sampler needs --in_path"
-            from ..native.api import NativeTrainLoader
+        if not args.eval_only:
+            native = None
+            if args.use_native_sampler:
+                assert args.in_path, "--use_native_sampler needs --in_path"
+                from ..native.api import NativeTrainLoader
 
-            native = NativeTrainLoader(
-                args.in_path, batch_size=batch_size, neg_ent=args.neg_ent,
-                neg_rel=args.neg_rel, bern_flag=True,
-            )
-            sampler = native
-        else:
-            sampler = NegativeSampler(
-                store, batch_size=batch_size, neg_ent=args.neg_ent,
-                neg_rel=args.neg_rel, bern=True, seed=args.seed,
-            )
-        state = trainer.pretrain(sampler, state, logger=logger)
-        ckpt.save(int(state.step), state.params)
+                native = NativeTrainLoader(
+                    args.in_path, batch_size=batch_size,
+                    neg_ent=args.neg_ent, neg_rel=args.neg_rel,
+                    bern_flag=True,
+                )
+                sampler = native
+            else:
+                sampler = NegativeSampler(
+                    store, batch_size=batch_size, neg_ent=args.neg_ent,
+                    neg_rel=args.neg_rel, bern=True, seed=args.seed,
+                )
+            state = trainer.pretrain(sampler, state, logger=logger)
+            ckpt.save(int(state.step), state.params)
 
         variables = {"params": state.params, "frozen": state.frozen}
         candidate_fn = jax.jit(
@@ -207,15 +222,22 @@ def main(argv=None):
         return metrics
 
     tuples = mars_finetune_tuples(mars, markg)
-    state = trainer.finetune(tuples["train"], state, logger=logger)
-    ckpt.save(int(state.step), state.params)
+    if not args.eval_only:
+        state = trainer.finetune(tuples["train"], state, logger=logger)
+        ckpt.save(int(state.step), state.params)
     variables = {"params": state.params, "frozen": state.frozen}
     scores_fn = jax.jit(
         lambda eh, et, q, tm: model.apply(
             variables, eh, et, q, tm, method=type(model).finetune_scores
         )
     )
-    metrics = analogical_reasoning(scores_fn, tuples["test"])
+    metrics, ranks = analogical_reasoning(scores_fn, tuples["test"],
+                                          return_ranks=True)
+    if args.dump_ranks:
+        np.savez(args.dump_ranks, ranks=ranks,
+                 mode=tuples["test"][:, 5],
+                 tie=np.ones(len(ranks), dtype=np.int64))
+        print(f"ranks dumped to {args.dump_ranks}")
     logger.log(int(state.step), metrics, prefix="analogy/")
     print(metrics)
     return metrics

@@ -49,6 +49,15 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="output/rsme")
     p.add_argument("--log_dir", default="training/logs")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training and evaluate the restored --ckpt "
+                        "(held-out link prediction in pretrain mode, MARS "
+                        "analogy ranking with --finetune); the reference "
+                        "inlines eval after training (learn.py:124-150)")
+    p.add_argument("--dump_ranks", default=None,
+                   help="npz path for per-example analogy-eval ranks "
+                        "(keys ranks/mode/tie — tools/analyze_ranks.py "
+                        "layout); finetune mode only")
     return p
 
 
@@ -135,10 +144,12 @@ def main(argv=None):
         restored = Checkpointer(args.ckpt).restore(like=state.params)
         state = state.replace(params=restored)
 
+    if args.eval_only:
+        assert args.ckpt, "--eval_only needs --ckpt"
     nprng = np.random.default_rng(args.seed + 1)
     if not args.finetune:
         best_mrr = 0.0
-        for epoch in range(args.max_epochs):
+        for epoch in range(0 if args.eval_only else args.max_epochs):
             state, loss = trainer.epoch(state, train_aug, nprng)
             logger.log(int(state.step), {"loss": loss, "epoch": epoch},
                        prefix="rsme_train/")
@@ -157,11 +168,12 @@ def main(argv=None):
         return result
 
     tuples = mars_finetune_tuples(mars, markg)
-    for epoch in range(args.max_epochs):
-        state, loss = trainer.epoch(state, tuples["train"], nprng)
-        logger.log(int(state.step), {"loss": loss, "epoch": epoch},
-                   prefix="rsme_ft/")
-    ckpt.save(int(state.step), state.params)
+    if not args.eval_only:
+        for epoch in range(args.max_epochs):
+            state, loss = trainer.epoch(state, tuples["train"], nprng)
+            logger.log(int(state.step), {"loss": loss, "epoch": epoch},
+                       prefix="rsme_ft/")
+        ckpt.save(int(state.step), state.params)
     variables = {"params": state.params, "frozen": state.frozen}
 
     import jax.numpy as jnp
@@ -175,6 +187,12 @@ def main(argv=None):
         rows = jnp.asarray(tuples["test"][b : b + 500], jnp.int32)
         preds = preds_fn(rows)
         ranks.append(np.asarray(ranks_from_scores(preds, rows[:, 3])))
+    if args.dump_ranks:
+        r_all = np.concatenate(ranks)
+        np.savez(args.dump_ranks, ranks=r_all,
+                 mode=tuples["test"][:, 5],
+                 tie=np.ones(len(r_all), dtype=np.int64))
+        print(f"ranks dumped to {args.dump_ranks}")
     m = rank_metrics(jnp.asarray(np.concatenate(ranks)), ks=(1, 3, 5, 10))
     result = {k: float(v) for k, v in m.items()}
     logger.log(int(state.step), result, prefix="rsme_ft_test/")

@@ -112,9 +112,12 @@ def analogical_reasoning(
     finetune_scores_fn: Callable,
     tuples: np.ndarray,
     batch_size: int = 128,
-) -> Dict[str, float]:
+    return_ranks: bool = False,
+):
     """Double-argsort ranking of the answer among all entities
-    (IKRL.py:299-316)."""
+    (IKRL.py:299-316). With ``return_ranks`` also returns the per-example
+    rank array (tuples order) for diagnostics — the KGE-silo counterpart
+    of the MarT trainer's test_ranks.npz dump (tools/analyze_ranks.py)."""
     ranks = []
     for start in range(0, len(tuples), batch_size):
         rows = tuples[start : start + batch_size]
@@ -126,7 +129,10 @@ def analogical_reasoning(
         ranks.append(np.asarray(r))
     r = np.concatenate(ranks)
     m = rank_metrics(jnp.asarray(r), ks=(1, 3, 5, 10))
-    return {k: float(v) for k, v in m.items()}
+    metrics = {k: float(v) for k, v in m.items()}
+    if return_ranks:
+        return metrics, r
+    return metrics
 
 
 def best_threshold(scores: np.ndarray, labels: np.ndarray) -> Tuple[float, float]:

@@ -57,6 +57,16 @@ def test_ikrl_cli_pretrain_and_finetune(dataset, tmp_path):
                         "--finetune_bsz", "6",
                         "--ckpt", str(tmp_path / "ikrl" / "ckpt")])
     assert "mrr" in m2
+    # eval-only re-scores the finetuned checkpoint identically and dumps
+    # per-example ranks in the analyze_ranks layout
+    dump = tmp_path / "ikrl_ranks.npz"
+    m3 = main(common + ["--finetune", "--eval_only",
+                        "--ckpt", str(tmp_path / "ikrl" / "ckpt"),
+                        "--dump_ranks", str(dump)])
+    assert m3["mrr"] == pytest.approx(m2["mrr"], abs=1e-6)
+    d = np.load(dump)
+    assert d["ranks"].shape == d["mode"].shape == d["tie"].shape
+    assert (d["ranks"] >= 1).all()
 
 
 def test_rsme_cli(dataset, tmp_path):
@@ -79,6 +89,19 @@ def test_rsme_cli(dataset, tmp_path):
         "--log_dir", str(tmp_path / "logs"),
     ])
     assert "mrr" in m2
+    dump = tmp_path / "rsme_ranks.npz"
+    m3 = main([
+        "--data_dir", mars_dir, "--pretrain_path", markg_dir,
+        "--model", "Analogy", "--rank", "8", "--finetune", "--eval_only",
+        "--ckpt", str(tmp_path / "rsme_ft" / "ckpt"),
+        "--dump_ranks", str(dump),
+        "--output_dir", str(tmp_path / "rsme_ft2"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert m3["mrr"] == pytest.approx(m2["mrr"], abs=1e-6)
+    d = np.load(dump)
+    assert d["ranks"].shape == d["mode"].shape
+    assert (d["ranks"] >= 1).all()
 
 
 def test_transae_cli(dataset, tmp_path):
